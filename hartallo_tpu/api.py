@@ -1,0 +1,127 @@
+"""Public API surface, mirroring the reference's hl_api.h / hl_codec.h knobs.
+
+Reference parity: engine init (``hl_engine.c:22-67``), codec create/configure
+(``hl_codec.c:22-131``, field list ``hl_codec.h:16-150``), parser find_bounds
+(``hl_parser_264.c:13-45``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class CodecConfig:
+    """Encoder/decoder knobs (reference ``hl_codec.h:16-150`` defaults from
+    ``hl_codec.c:22-61``)."""
+    width: int = 0
+    height: int = 0
+    fps: Tuple[int, int] = (1, 30)           # (num, den): den = frames/s
+    gop_size: int = 30
+    qp: int = 31
+    rc_enabled: bool = False
+    rc_bitrate: int = -1
+    rc_bitrate_min: int = -1
+    rc_bitrate_max: int = -1
+    rc_qp_min: int = 2
+    rc_qp_max: int = 51
+    rc_basicunit: int = 0
+    me_range: int = 16
+    me_early_term: bool = False
+    deblock: bool = True
+    threads: int = 1                         # host-side entropy workers
+    slices: int = 1                          # slices per frame
+    dqid_min: int = -1                       # SVC decode window
+    dqid_max: int = -1
+    entropy: str = "cavlc"                   # reference supports CAVLC only
+    # SVC spatial layers: list of (width, height); empty = plain AVC
+    layers: List[Tuple[int, int]] = field(default_factory=list)
+
+    def add_layer(self, width: int, height: int) -> None:
+        """Reference hl_codec_add_layer (hl_codec.c:95-131)."""
+        self.layers.append((width, height))
+
+
+@dataclass
+class DecodeResult:
+    frame: Optional[np.ndarray] = None       # packed I420 bytes as uint8 array
+    width: int = 0
+    height: int = 0
+    dqid: int = 0
+
+    @property
+    def has_frame(self) -> bool:
+        return self.frame is not None
+
+
+@dataclass
+class EncodeResult:
+    data: bytes = b""                        # Annex-B bytes (with start codes)
+    headers: bytes = b""                     # SPS/PPS emitted this frame
+    keyframe: bool = False
+
+
+class Engine:
+    """Global init: mirrors hl_engine_init (binds kernels; here: warms jit
+    caches lazily — XLA dispatch replaces the CPUID function-pointer engine
+    ``hl_engine.c:82-110``)."""
+    _initialized = False
+
+    @classmethod
+    def init(cls) -> None:
+        cls._initialized = True
+
+    @classmethod
+    def initialized(cls) -> bool:
+        return cls._initialized
+
+
+class Parser:
+    """Annex-B NAL bounds scanner (reference hl_parser_264.c)."""
+
+    @staticmethod
+    def find_nal_units(data: bytes):
+        from hartallo_tpu.bitio import find_nal_units
+        return find_nal_units(data)
+
+
+class Codec:
+    """H.264 AVC/SVC codec instance.
+
+    ``decode(nal_bytes)`` consumes one NAL unit (no start code) and returns a
+    DecodeResult; ``encode(frame)`` consumes one I420 frame and returns an
+    EncodeResult — mirroring the reference plugin vtable
+    (``hl_codec_264.c:1175-1186``).
+    """
+
+    def __init__(self, config: Optional[CodecConfig] = None):
+        self.config = config or CodecConfig()
+        self._decoder = None
+        self._encoder = None
+
+    # -- decode -----------------------------------------------------------
+    def decode(self, nal: bytes) -> DecodeResult:
+        if self._decoder is None:
+            from hartallo_tpu.decode.decoder import Decoder
+            self._decoder = Decoder(dqid_min=self.config.dqid_min,
+                                    dqid_max=self.config.dqid_max)
+        return self._decoder.decode_nal(nal)
+
+    def decode_annexb(self, data: bytes) -> List[DecodeResult]:
+        results = []
+        for s, e in Parser.find_nal_units(data):
+            r = self.decode(data[s:e])
+            if r.has_frame:
+                results.append(r)
+        return results
+
+    # -- encode -----------------------------------------------------------
+    def encode(self, frame: np.ndarray, width: int = 0,
+               height: int = 0) -> EncodeResult:
+        if self._encoder is None:
+            from hartallo_tpu.encode.encoder import Encoder
+            self._encoder = Encoder(self.config)
+        return self._encoder.encode_frame(frame, width or self.config.width,
+                                          height or self.config.height)

@@ -1,0 +1,453 @@
+"""Sequence / picture parameter sets: parse and write (spec 7.3.2.1/7.3.2.2).
+
+Reference parity: ``hl_codec_264_sps.c`` (994 LoC, incl. High-profile scaling
+lists and SVC subset-SPS hooks), ``hl_codec_264_pps.c`` (484 LoC, FMO syntax),
+``hl_codec_264_vui.c``.  Re-expressed as dataclasses + pure functions over
+:class:`~hartallo_tpu.bitio.BitReader` / ``BitWriter``.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from hartallo_tpu.bitio import BitReader, BitWriter
+
+PROFILE_BASELINE = 66
+PROFILE_MAIN = 77
+PROFILE_EXTENDED = 88
+PROFILE_HIGH = 100
+PROFILE_SCALABLE_BASELINE = 83
+PROFILE_SCALABLE_HIGH = 86
+
+_HIGH_PROFILES = (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+
+# ---------------------------------------------------------------------------
+# Scaling lists (spec 7.3.2.1.1.1)
+# ---------------------------------------------------------------------------
+
+def _parse_scaling_list(r: BitReader, size: int):
+    """Returns (list or None-if-use-default, use_default_flag)."""
+    scaling = np.zeros(size, dtype=np.int32)
+    last_scale, next_scale = 8, 8
+    use_default = False
+    for j in range(size):
+        if next_scale != 0:
+            delta = r.se()
+            next_scale = (last_scale + delta + 256) % 256
+            if j == 0 and next_scale == 0:
+                use_default = True
+        scaling[j] = last_scale if next_scale == 0 else next_scale
+        last_scale = int(scaling[j])
+    return scaling, use_default
+
+
+# ---------------------------------------------------------------------------
+# HRD / VUI (spec E.1.1 / E.1.2) — parsed for completeness, mostly carried
+# through; the reference parses these as passthrough too (hl_codec_264_vui.c).
+# ---------------------------------------------------------------------------
+
+@dataclass
+class HRD:
+    cpb_cnt_minus1: int = 0
+    bit_rate_scale: int = 0
+    cpb_size_scale: int = 0
+    bit_rate_value_minus1: List[int] = field(default_factory=list)
+    cpb_size_value_minus1: List[int] = field(default_factory=list)
+    cbr_flag: List[int] = field(default_factory=list)
+    initial_cpb_removal_delay_length_minus1: int = 23
+    cpb_removal_delay_length_minus1: int = 23
+    dpb_output_delay_length_minus1: int = 23
+    time_offset_length: int = 24
+
+    @classmethod
+    def parse(cls, r: BitReader) -> "HRD":
+        h = cls()
+        h.cpb_cnt_minus1 = r.ue()
+        h.bit_rate_scale = r.u(4)
+        h.cpb_size_scale = r.u(4)
+        for _ in range(h.cpb_cnt_minus1 + 1):
+            h.bit_rate_value_minus1.append(r.ue())
+            h.cpb_size_value_minus1.append(r.ue())
+            h.cbr_flag.append(r.u1())
+        h.initial_cpb_removal_delay_length_minus1 = r.u(5)
+        h.cpb_removal_delay_length_minus1 = r.u(5)
+        h.dpb_output_delay_length_minus1 = r.u(5)
+        h.time_offset_length = r.u(5)
+        return h
+
+
+@dataclass
+class VUI:
+    aspect_ratio_info_present_flag: int = 0
+    aspect_ratio_idc: int = 0
+    sar_width: int = 0
+    sar_height: int = 0
+    overscan_info_present_flag: int = 0
+    overscan_appropriate_flag: int = 0
+    video_signal_type_present_flag: int = 0
+    video_format: int = 5
+    video_full_range_flag: int = 0
+    colour_description_present_flag: int = 0
+    colour_primaries: int = 2
+    transfer_characteristics: int = 2
+    matrix_coefficients: int = 2
+    chroma_loc_info_present_flag: int = 0
+    chroma_sample_loc_type_top_field: int = 0
+    chroma_sample_loc_type_bottom_field: int = 0
+    timing_info_present_flag: int = 0
+    num_units_in_tick: int = 0
+    time_scale: int = 0
+    fixed_frame_rate_flag: int = 0
+    nal_hrd: Optional[HRD] = None
+    vcl_hrd: Optional[HRD] = None
+    low_delay_hrd_flag: int = 0
+    pic_struct_present_flag: int = 0
+    bitstream_restriction_flag: int = 0
+    motion_vectors_over_pic_boundaries_flag: int = 1
+    max_bytes_per_pic_denom: int = 2
+    max_bits_per_mb_denom: int = 1
+    log2_max_mv_length_horizontal: int = 16
+    log2_max_mv_length_vertical: int = 16
+    max_num_reorder_frames: int = 0
+    max_dec_frame_buffering: int = 0
+
+    @classmethod
+    def parse(cls, r: BitReader) -> "VUI":
+        v = cls()
+        v.aspect_ratio_info_present_flag = r.u1()
+        if v.aspect_ratio_info_present_flag:
+            v.aspect_ratio_idc = r.u(8)
+            if v.aspect_ratio_idc == 255:  # Extended_SAR
+                v.sar_width = r.u(16)
+                v.sar_height = r.u(16)
+        v.overscan_info_present_flag = r.u1()
+        if v.overscan_info_present_flag:
+            v.overscan_appropriate_flag = r.u1()
+        v.video_signal_type_present_flag = r.u1()
+        if v.video_signal_type_present_flag:
+            v.video_format = r.u(3)
+            v.video_full_range_flag = r.u1()
+            v.colour_description_present_flag = r.u1()
+            if v.colour_description_present_flag:
+                v.colour_primaries = r.u(8)
+                v.transfer_characteristics = r.u(8)
+                v.matrix_coefficients = r.u(8)
+        v.chroma_loc_info_present_flag = r.u1()
+        if v.chroma_loc_info_present_flag:
+            v.chroma_sample_loc_type_top_field = r.ue()
+            v.chroma_sample_loc_type_bottom_field = r.ue()
+        v.timing_info_present_flag = r.u1()
+        if v.timing_info_present_flag:
+            v.num_units_in_tick = r.u(32)
+            v.time_scale = r.u(32)
+            v.fixed_frame_rate_flag = r.u1()
+        nal_hrd_present = r.u1()
+        if nal_hrd_present:
+            v.nal_hrd = HRD.parse(r)
+        vcl_hrd_present = r.u1()
+        if vcl_hrd_present:
+            v.vcl_hrd = HRD.parse(r)
+        if nal_hrd_present or vcl_hrd_present:
+            v.low_delay_hrd_flag = r.u1()
+        v.pic_struct_present_flag = r.u1()
+        v.bitstream_restriction_flag = r.u1()
+        if v.bitstream_restriction_flag:
+            v.motion_vectors_over_pic_boundaries_flag = r.u1()
+            v.max_bytes_per_pic_denom = r.ue()
+            v.max_bits_per_mb_denom = r.ue()
+            v.log2_max_mv_length_horizontal = r.ue()
+            v.log2_max_mv_length_vertical = r.ue()
+            v.max_num_reorder_frames = r.ue()
+            v.max_dec_frame_buffering = r.ue()
+        return v
+
+
+# ---------------------------------------------------------------------------
+# SPS
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SPS:
+    profile_idc: int = PROFILE_BASELINE
+    constraint_set_flags: int = 0          # 8 bits: set0..set5 + 2 reserved
+    level_idc: int = 30
+    seq_parameter_set_id: int = 0
+    chroma_format_idc: int = 1
+    separate_colour_plane_flag: int = 0
+    bit_depth_luma_minus8: int = 0
+    bit_depth_chroma_minus8: int = 0
+    qpprime_y_zero_transform_bypass_flag: int = 0
+    seq_scaling_matrix_present_flag: int = 0
+    scaling_lists_4x4: Optional[list] = None   # 6 x ndarray(16) or None
+    scaling_lists_8x8: Optional[list] = None   # 2+ x ndarray(64) or None
+    log2_max_frame_num_minus4: int = 0
+    pic_order_cnt_type: int = 0
+    log2_max_pic_order_cnt_lsb_minus4: int = 0
+    delta_pic_order_always_zero_flag: int = 0
+    offset_for_non_ref_pic: int = 0
+    offset_for_top_to_bottom_field: int = 0
+    offset_for_ref_frame: List[int] = field(default_factory=list)
+    max_num_ref_frames: int = 1
+    gaps_in_frame_num_value_allowed_flag: int = 0
+    pic_width_in_mbs_minus1: int = 0
+    pic_height_in_map_units_minus1: int = 0
+    frame_mbs_only_flag: int = 1
+    mb_adaptive_frame_field_flag: int = 0
+    direct_8x8_inference_flag: int = 1
+    frame_cropping_flag: int = 0
+    frame_crop_left_offset: int = 0
+    frame_crop_right_offset: int = 0
+    frame_crop_top_offset: int = 0
+    frame_crop_bottom_offset: int = 0
+    vui_parameters_present_flag: int = 0
+    vui: Optional[VUI] = None
+
+    # ---- derived (spec 7-9..7-17) ----
+    @property
+    def pic_width_in_mbs(self) -> int:
+        return self.pic_width_in_mbs_minus1 + 1
+
+    @property
+    def pic_height_in_mbs(self) -> int:
+        # frame_mbs_only assumed (reference is progressive-only too)
+        return (self.pic_height_in_map_units_minus1 + 1) * \
+            (2 - self.frame_mbs_only_flag)
+
+    @property
+    def width(self) -> int:
+        return self.pic_width_in_mbs * 16
+
+    @property
+    def height(self) -> int:
+        return self.pic_height_in_mbs * 16
+
+    @property
+    def max_frame_num(self) -> int:
+        return 1 << (self.log2_max_frame_num_minus4 + 4)
+
+    @property
+    def max_pic_order_cnt_lsb(self) -> int:
+        return 1 << (self.log2_max_pic_order_cnt_lsb_minus4 + 4)
+
+    @classmethod
+    def parse(cls, r: BitReader) -> "SPS":
+        s = cls()
+        s.profile_idc = r.u(8)
+        s.constraint_set_flags = r.u(8)
+        s.level_idc = r.u(8)
+        s.seq_parameter_set_id = r.ue()
+        if s.profile_idc in _HIGH_PROFILES:
+            s.chroma_format_idc = r.ue()
+            if s.chroma_format_idc == 3:
+                s.separate_colour_plane_flag = r.u1()
+            s.bit_depth_luma_minus8 = r.ue()
+            s.bit_depth_chroma_minus8 = r.ue()
+            s.qpprime_y_zero_transform_bypass_flag = r.u1()
+            s.seq_scaling_matrix_present_flag = r.u1()
+            if s.seq_scaling_matrix_present_flag:
+                s.scaling_lists_4x4 = []
+                s.scaling_lists_8x8 = []
+                n8 = 2 if s.chroma_format_idc != 3 else 6
+                for i in range(6 + n8):
+                    present = r.u1()
+                    if not present:
+                        (s.scaling_lists_4x4 if i < 6
+                         else s.scaling_lists_8x8).append(None)
+                        continue
+                    size = 16 if i < 6 else 64
+                    lst, use_default = _parse_scaling_list(r, size)
+                    (s.scaling_lists_4x4 if i < 6
+                     else s.scaling_lists_8x8).append(
+                        None if use_default else lst)
+        s.log2_max_frame_num_minus4 = r.ue()
+        s.pic_order_cnt_type = r.ue()
+        if s.pic_order_cnt_type == 0:
+            s.log2_max_pic_order_cnt_lsb_minus4 = r.ue()
+        elif s.pic_order_cnt_type == 1:
+            s.delta_pic_order_always_zero_flag = r.u1()
+            s.offset_for_non_ref_pic = r.se()
+            s.offset_for_top_to_bottom_field = r.se()
+            n = r.ue()
+            s.offset_for_ref_frame = [r.se() for _ in range(n)]
+        s.max_num_ref_frames = r.ue()
+        s.gaps_in_frame_num_value_allowed_flag = r.u1()
+        s.pic_width_in_mbs_minus1 = r.ue()
+        s.pic_height_in_map_units_minus1 = r.ue()
+        s.frame_mbs_only_flag = r.u1()
+        if not s.frame_mbs_only_flag:
+            s.mb_adaptive_frame_field_flag = r.u1()
+        s.direct_8x8_inference_flag = r.u1()
+        s.frame_cropping_flag = r.u1()
+        if s.frame_cropping_flag:
+            s.frame_crop_left_offset = r.ue()
+            s.frame_crop_right_offset = r.ue()
+            s.frame_crop_top_offset = r.ue()
+            s.frame_crop_bottom_offset = r.ue()
+        s.vui_parameters_present_flag = r.u1()
+        if s.vui_parameters_present_flag:
+            s.vui = VUI.parse(r)
+        return s
+
+    def write(self, w: BitWriter) -> None:
+        w.u(self.profile_idc, 8)
+        w.u(self.constraint_set_flags, 8)
+        w.u(self.level_idc, 8)
+        w.ue(self.seq_parameter_set_id)
+        if self.profile_idc in _HIGH_PROFILES:
+            w.ue(self.chroma_format_idc)
+            if self.chroma_format_idc == 3:
+                w.u1(self.separate_colour_plane_flag)
+            w.ue(self.bit_depth_luma_minus8)
+            w.ue(self.bit_depth_chroma_minus8)
+            w.u1(self.qpprime_y_zero_transform_bypass_flag)
+            w.u1(0)  # seq_scaling_matrix_present_flag (flat lists)
+        w.ue(self.log2_max_frame_num_minus4)
+        w.ue(self.pic_order_cnt_type)
+        if self.pic_order_cnt_type == 0:
+            w.ue(self.log2_max_pic_order_cnt_lsb_minus4)
+        elif self.pic_order_cnt_type == 1:
+            w.u1(self.delta_pic_order_always_zero_flag)
+            w.se(self.offset_for_non_ref_pic)
+            w.se(self.offset_for_top_to_bottom_field)
+            w.ue(len(self.offset_for_ref_frame))
+            for off in self.offset_for_ref_frame:
+                w.se(off)
+        w.ue(self.max_num_ref_frames)
+        w.u1(self.gaps_in_frame_num_value_allowed_flag)
+        w.ue(self.pic_width_in_mbs_minus1)
+        w.ue(self.pic_height_in_map_units_minus1)
+        w.u1(self.frame_mbs_only_flag)
+        if not self.frame_mbs_only_flag:
+            w.u1(self.mb_adaptive_frame_field_flag)
+        w.u1(self.direct_8x8_inference_flag)
+        w.u1(self.frame_cropping_flag)
+        if self.frame_cropping_flag:
+            w.ue(self.frame_crop_left_offset)
+            w.ue(self.frame_crop_right_offset)
+            w.ue(self.frame_crop_top_offset)
+            w.ue(self.frame_crop_bottom_offset)
+        w.u1(0)  # vui_parameters_present_flag (not emitted)
+        w.write_rbsp_trailing_bits()
+
+
+# ---------------------------------------------------------------------------
+# PPS
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PPS:
+    pic_parameter_set_id: int = 0
+    seq_parameter_set_id: int = 0
+    entropy_coding_mode_flag: int = 0       # 0 = CAVLC, 1 = CABAC
+    bottom_field_pic_order_in_frame_present_flag: int = 0
+    num_slice_groups_minus1: int = 0
+    slice_group_map_type: int = 0
+    run_length_minus1: List[int] = field(default_factory=list)
+    top_left: List[int] = field(default_factory=list)
+    bottom_right: List[int] = field(default_factory=list)
+    slice_group_change_direction_flag: int = 0
+    slice_group_change_rate_minus1: int = 0
+    slice_group_id: List[int] = field(default_factory=list)
+    num_ref_idx_l0_default_active_minus1: int = 0
+    num_ref_idx_l1_default_active_minus1: int = 0
+    weighted_pred_flag: int = 0
+    weighted_bipred_idc: int = 0
+    pic_init_qp_minus26: int = 0
+    pic_init_qs_minus26: int = 0
+    chroma_qp_index_offset: int = 0
+    deblocking_filter_control_present_flag: int = 0
+    constrained_intra_pred_flag: int = 0
+    redundant_pic_cnt_present_flag: int = 0
+    # More-data extensions (High profile)
+    transform_8x8_mode_flag: int = 0
+    pic_scaling_matrix_present_flag: int = 0
+    second_chroma_qp_index_offset: Optional[int] = None
+
+    @property
+    def pic_init_qp(self) -> int:
+        return self.pic_init_qp_minus26 + 26
+
+    @classmethod
+    def parse(cls, r: BitReader, chroma_format_idc: int = 1) -> "PPS":
+        p = cls()
+        p.pic_parameter_set_id = r.ue()
+        p.seq_parameter_set_id = r.ue()
+        p.entropy_coding_mode_flag = r.u1()
+        p.bottom_field_pic_order_in_frame_present_flag = r.u1()
+        p.num_slice_groups_minus1 = r.ue()
+        if p.num_slice_groups_minus1 > 0:
+            p.slice_group_map_type = r.ue()
+            if p.slice_group_map_type == 0:
+                p.run_length_minus1 = [
+                    r.ue() for _ in range(p.num_slice_groups_minus1 + 1)]
+            elif p.slice_group_map_type == 2:
+                for _ in range(p.num_slice_groups_minus1):
+                    p.top_left.append(r.ue())
+                    p.bottom_right.append(r.ue())
+            elif p.slice_group_map_type in (3, 4, 5):
+                p.slice_group_change_direction_flag = r.u1()
+                p.slice_group_change_rate_minus1 = r.ue()
+            elif p.slice_group_map_type == 6:
+                n = r.ue() + 1
+                bits = max(1, (p.num_slice_groups_minus1 + 1 - 1)
+                           .bit_length())
+                p.slice_group_id = [r.u(bits) for _ in range(n)]
+        p.num_ref_idx_l0_default_active_minus1 = r.ue()
+        p.num_ref_idx_l1_default_active_minus1 = r.ue()
+        p.weighted_pred_flag = r.u1()
+        p.weighted_bipred_idc = r.u(2)
+        p.pic_init_qp_minus26 = r.se()
+        p.pic_init_qs_minus26 = r.se()
+        p.chroma_qp_index_offset = r.se()
+        p.deblocking_filter_control_present_flag = r.u1()
+        p.constrained_intra_pred_flag = r.u1()
+        p.redundant_pic_cnt_present_flag = r.u1()
+        if r.more_rbsp_data():
+            p.transform_8x8_mode_flag = r.u1()
+            p.pic_scaling_matrix_present_flag = r.u1()
+            if p.pic_scaling_matrix_present_flag:
+                n8 = 2 if chroma_format_idc != 3 else 6
+                count = 6 + (n8 if p.transform_8x8_mode_flag else 0)
+                for i in range(count):
+                    if r.u1():
+                        _parse_scaling_list(r, 16 if i < 6 else 64)
+            p.second_chroma_qp_index_offset = r.se()
+        return p
+
+    def write(self, w: BitWriter) -> None:
+        w.ue(self.pic_parameter_set_id)
+        w.ue(self.seq_parameter_set_id)
+        w.u1(self.entropy_coding_mode_flag)
+        w.u1(self.bottom_field_pic_order_in_frame_present_flag)
+        w.ue(self.num_slice_groups_minus1)
+        if self.num_slice_groups_minus1 > 0:
+            w.ue(self.slice_group_map_type)
+            if self.slice_group_map_type == 0:
+                for v in self.run_length_minus1:
+                    w.ue(v)
+            elif self.slice_group_map_type == 2:
+                for tl, br in zip(self.top_left, self.bottom_right):
+                    w.ue(tl)
+                    w.ue(br)
+            elif self.slice_group_map_type in (3, 4, 5):
+                w.u1(self.slice_group_change_direction_flag)
+                w.ue(self.slice_group_change_rate_minus1)
+            elif self.slice_group_map_type == 6:
+                w.ue(len(self.slice_group_id) - 1)
+                bits = max(1, self.num_slice_groups_minus1.bit_length())
+                for g in self.slice_group_id:
+                    w.u(g, bits)
+        w.ue(self.num_ref_idx_l0_default_active_minus1)
+        w.ue(self.num_ref_idx_l1_default_active_minus1)
+        w.u1(self.weighted_pred_flag)
+        w.u(self.weighted_bipred_idc, 2)
+        w.se(self.pic_init_qp_minus26)
+        w.se(self.pic_init_qs_minus26)
+        w.se(self.chroma_qp_index_offset)
+        w.u1(self.deblocking_filter_control_present_flag)
+        w.u1(self.constrained_intra_pred_flag)
+        w.u1(self.redundant_pic_cnt_present_flag)
+        w.write_rbsp_trailing_bits()

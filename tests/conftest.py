@@ -1,0 +1,50 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices so sharding
+tests exercise a multi-chip mesh without TPU hardware."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import subprocess
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REFBUILD = REPO / ".refbuild"
+REF_DRIVER = REFBUILD / "ref_driver"
+
+
+def _ensure_oracle() -> bool:
+    """Build the reference-oracle binary on first use (gitignored)."""
+    if REF_DRIVER.exists():
+        return True
+    script = REPO / "tools" / "build_reference_oracle.sh"
+    if not script.exists() or not pathlib.Path("/root/reference").exists():
+        return False
+    try:
+        subprocess.run(["bash", str(script)], check=True,
+                       capture_output=True, timeout=600)
+    except Exception:
+        return False
+    return REF_DRIVER.exists()
+
+
+@pytest.fixture(scope="session")
+def ref_driver():
+    """Path to the reference oracle CLI, or skip."""
+    if not _ensure_oracle():
+        pytest.skip("reference oracle unavailable")
+    return str(REF_DRIVER)
+
+
+@pytest.fixture(scope="session")
+def ref_tables_header():
+    p = pathlib.Path("/root/reference/include/hartallo/h264/"
+                     "hl_codec_264_tables.h")
+    if not p.exists():
+        pytest.skip("reference headers unavailable")
+    return p.read_text(errors="replace")
