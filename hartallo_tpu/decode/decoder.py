@@ -1,0 +1,152 @@
+"""Decoder front-end: NAL dispatch -> host slice parse -> device pixel
+pipeline -> output frames.
+
+Reference parity: ``hl_codec_264.c:79-397`` (_decode: header parse, EPB
+strip, NAL dispatch) + ``hl_codec_264_nal.c:29-257`` (slice pipeline
+orchestration).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hartallo_tpu.api import DecodeResult
+from hartallo_tpu.bitio import BitReader, strip_emulation_prevention
+from hartallo_tpu.decode import nal as N
+from hartallo_tpu.decode.intra_recon import (PAD, availability_masks,
+                                             compute_residuals,
+                                             intra_reconstruct,
+                                             wavefront_schedule)
+from hartallo_tpu.decode.params import PPS, SPS
+from hartallo_tpu.decode.slice_decode import (MB_I16, MB_I4X4, MB_PCM,
+                                              SliceData, SliceDecoder)
+from hartallo_tpu.decode.sliceheader import SliceHeader, parse_slice_header
+
+
+class Decoder:
+    def __init__(self, dqid_min: int = -1, dqid_max: int = -1):
+        self.sps_map: Dict[int, SPS] = {}
+        self.pps_map: Dict[int, PPS] = {}
+        self.dqid_min = dqid_min
+        self.dqid_max = dqid_max
+        self._sched_cache = {}
+        # current-picture assembly state
+        self._cur: Optional[SliceData] = None
+        self._cur_hdr: Optional[SliceHeader] = None
+        self._dpb: List[np.ndarray] = []      # recon planes for inter pred
+
+    # ------------------------------------------------------------------
+    def decode_nal(self, nal_bytes: bytes) -> DecodeResult:
+        r = BitReader(strip_emulation_prevention(nal_bytes))
+        hdr = N.parse_nal_header(r)
+        if hdr.type == N.NAL_SPS:
+            sps = SPS.parse(r)
+            self.sps_map[sps.seq_parameter_set_id] = sps
+            return DecodeResult()
+        if hdr.type == N.NAL_PPS:
+            pps = PPS.parse(r)
+            self.pps_map[pps.pic_parameter_set_id] = pps
+            return DecodeResult()
+        if hdr.type in (N.NAL_SLICE, N.NAL_SLICE_IDR):
+            return self._decode_slice(r, hdr)
+        # SEI/AUD/filler/end markers: no output
+        return DecodeResult()
+
+    # ------------------------------------------------------------------
+    def _decode_slice(self, r: BitReader, nh: N.NalHeader) -> DecodeResult:
+        # peek slice header fields to find the PPS/SPS
+        sh = None
+        for pps in self.pps_map.values():
+            sps = self.sps_map[pps.seq_parameter_set_id]
+            probe = BitReader(r.data)
+            probe.pos = r.pos
+            try:
+                cand = parse_slice_header(probe, sps, pps,
+                                          nal_ref_idc=nh.ref_idc,
+                                          is_idr=nh.type == N.NAL_SLICE_IDR)
+            except Exception:
+                continue
+            if cand.pic_parameter_set_id == pps.pic_parameter_set_id:
+                sh, r = cand, probe
+                break
+        if sh is None:
+            raise ValueError("no matching PPS for slice")
+        pps = self.pps_map[sh.pic_parameter_set_id]
+        sps = self.sps_map[pps.seq_parameter_set_id]
+        gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+
+        if self._cur is None or sh.first_mb_in_slice == 0:
+            self._cur = SliceData.create(gw, gh)
+        sd = self._cur
+        dec = SliceDecoder(sps, pps, sd)
+        dec.decode_slice_data(r, sh)
+
+        # picture complete when all MBs decoded
+        if (sd.mb_kind >= 0).all():
+            frame = self._reconstruct(sps, pps, sh, sd)
+            self._cur = None
+            return DecodeResult(frame=frame, width=sps.width,
+                                height=sps.height)
+        return DecodeResult()
+
+    # ------------------------------------------------------------------
+    def _reconstruct(self, sps: SPS, pps: PPS, sh: SliceHeader,
+                     sd: SliceData) -> np.ndarray:
+        gw, gh = sd.gw, sd.gh
+        W, H = gw * 16, gh * 16
+
+        is_i16 = jnp.asarray(sd.mb_kind == MB_I16)
+        res_y, res_c = compute_residuals(
+            jnp.asarray(sd.luma_ac), jnp.asarray(sd.luma_dc),
+            jnp.asarray(sd.chroma_ac), jnp.asarray(sd.chroma_dc),
+            jnp.asarray(sd.qp, jnp.int32), is_i16,
+            pps.chroma_qp_index_offset)
+
+        # initial planes: PCM pixels pre-placed (they feed later neighbors)
+        y0 = np.zeros((H, W), np.int32)
+        u0 = np.zeros((H // 2, W // 2), np.int32)
+        v0 = np.zeros((H // 2, W // 2), np.int32)
+        pcm = np.nonzero(sd.mb_kind == MB_PCM)
+        for my, mx in zip(*pcm):
+            y0[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
+                sd.pcm_luma[my, mx]
+            u0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+                sd.pcm_chroma[my, mx, 0]
+            v0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+                sd.pcm_chroma[my, mx, 1]
+        padY = np.pad(y0, PAD).astype(np.int32)
+        padU = np.pad(u0, PAD).astype(np.int32)
+        padV = np.pad(v0, PAD).astype(np.int32)
+
+        mb_is_inter = sd.mb_kind >= 3
+        al, at = availability_masks(sd.slice_id,
+                                    bool(pps.constrained_intra_pred_flag),
+                                    mb_is_inter)
+
+        key = (gw, gh)
+        if key not in self._sched_cache:
+            self._sched_cache[key] = jnp.asarray(wavefront_schedule(gw, gh))
+        sched = self._sched_cache[key]
+
+        kind_dev = jnp.asarray(np.where(sd.mb_kind == MB_I4X4, 0,
+                                        np.where(sd.mb_kind == MB_I16, 1,
+                                                 2)).astype(np.int32))
+        pY, pU, pV = intra_reconstruct(
+            (jnp.asarray(padY), jnp.asarray(padU), jnp.asarray(padV)),
+            res_y, res_c, kind_dev,
+            jnp.asarray(sd.i16_mode, jnp.int32),
+            jnp.asarray(sd.i4_modes, jnp.int32),
+            jnp.asarray(sd.chroma_mode, jnp.int32),
+            jnp.asarray(al), jnp.asarray(at), sched, gw=gw, gh=gh)
+
+        y = np.asarray(pY)[PAD:PAD + H, PAD:PAD + W]
+        u = np.asarray(pU)[PAD:PAD + H // 2, PAD:PAD + W // 2]
+        v = np.asarray(pV)[PAD:PAD + H // 2, PAD:PAD + W // 2]
+        # TODO: deblocking filter (next milestone) + DPB insert for inter
+        frame = np.concatenate([y.astype(np.uint8).ravel(),
+                                u.astype(np.uint8).ravel(),
+                                v.astype(np.uint8).ravel()])
+        return frame
