@@ -142,11 +142,62 @@ class Decoder:
             jnp.asarray(sd.chroma_mode, jnp.int32),
             jnp.asarray(al), jnp.asarray(at), sched, gw=gw, gh=gh)
 
+        if (sd.deblock_idc != 1).any():
+            pY, pU, pV = self._deblock(sps, pps, sd, (pY, pU, pV), sched)
+
         y = np.asarray(pY)[PAD:PAD + H, PAD:PAD + W]
         u = np.asarray(pU)[PAD:PAD + H // 2, PAD:PAD + W // 2]
         v = np.asarray(pV)[PAD:PAD + H // 2, PAD:PAD + W // 2]
-        # TODO: deblocking filter (next milestone) + DPB insert for inter
+        # TODO: DPB insert for inter prediction (next milestone)
         frame = np.concatenate([y.astype(np.uint8).ravel(),
                                 u.astype(np.uint8).ravel(),
                                 v.astype(np.uint8).ravel()])
         return frame
+
+    # ------------------------------------------------------------------
+    def _deblock(self, sps: SPS, pps: PPS, sd: SliceData, planes, sched):
+        from hartallo_tpu.core.tables import QP_SCALE_CHROMA
+        from hartallo_tpu.ops.deblock import compute_bs, deblock_frame
+
+        gw, gh = sd.gw, sd.gh
+        idc = sd.deblock_idc.astype(np.int32)
+        filter_internal = idc != 1
+        same_slice_l = np.zeros((gh, gw), bool)
+        same_slice_t = np.zeros((gh, gw), bool)
+        same_slice_l[:, 1:] = sd.slice_id[:, 1:] == sd.slice_id[:, :-1]
+        same_slice_t[1:, :] = sd.slice_id[1:, :] == sd.slice_id[:-1, :]
+        has_l = np.zeros((gh, gw), bool)
+        has_l[:, 1:] = True
+        has_t = np.zeros((gh, gw), bool)
+        has_t[1:, :] = True
+        fmb_v = filter_internal & has_l & ((idc != 2) | same_slice_l)
+        fmb_h = filter_internal & has_t & ((idc != 2) | same_slice_t)
+
+        mb_is_intra = sd.mb_kind <= 2  # I4x4/I16/PCM (kinds 0..2)
+        # per-4x4-block MV/ref grids (zeros for intra-only frames)
+        mvg = sd.mv.transpose(0, 2, 1, 3, 4).reshape(4 * gh, 4 * gw, 2)
+        refg = np.repeat(np.repeat(
+            sd.ref_idx.reshape(gh, gw, 2, 2), 2, axis=2), 2, axis=3) \
+            .transpose(0, 2, 1, 3).reshape(4 * gh, 4 * gw)
+
+        bs_v, bs_h = compute_bs(
+            jnp.asarray(mb_is_intra), jnp.asarray(sd.nnz_luma, jnp.int32),
+            jnp.asarray(mvg, jnp.int32), jnp.asarray(refg, jnp.int32),
+            jnp.asarray(fmb_v), jnp.asarray(fmb_h),
+            jnp.asarray(filter_internal))
+
+        qp = sd.qp.astype(np.int32)
+        qp_l = np.concatenate([qp[:, :1], qp[:, :-1]], axis=1)
+        qp_t = np.concatenate([qp[:1, :], qp[:-1, :]], axis=0)
+        qpc = QP_SCALE_CHROMA[np.clip(qp + pps.chroma_qp_index_offset,
+                                      0, 51)]
+        qpc_l = np.concatenate([qpc[:, :1], qpc[:, :-1]], axis=1)
+        qpc_t = np.concatenate([qpc[:1, :], qpc[:-1, :]], axis=0)
+
+        return deblock_frame(
+            planes, bs_v, bs_h,
+            jnp.asarray(qp), jnp.asarray(qp_l), jnp.asarray(qp_t),
+            jnp.asarray(qpc), jnp.asarray(qpc_l), jnp.asarray(qpc_t),
+            jnp.asarray(sd.alpha_off, jnp.int32),
+            jnp.asarray(sd.beta_off, jnp.int32),
+            sched, gw=gw, gh=gh)

@@ -60,6 +60,10 @@ class SliceData:
     # inter fields
     mv: np.ndarray               # (gh,gw,4,4,2) int32 quarter-pel L0 MVs
     ref_idx: np.ndarray          # (gh,gw,4) int8 per 8x8 partition
+    # per-MB deblock parameters (from the MB's slice header)
+    deblock_idc: np.ndarray = None      # (gh,gw) int8, default 1 (off)
+    alpha_off: np.ndarray = None        # (gh,gw) int8 (2*div2)
+    beta_off: np.ndarray = None         # (gh,gw) int8
     # transient parse state
     _slice_count: int = 0
 
@@ -85,6 +89,9 @@ class SliceData:
             slice_id=np.full((gh, gw), -1, np.int32),
             mv=np.zeros((gh, gw, 4, 4, 2), np.int32),
             ref_idx=np.zeros((gh, gw, 4), np.int8),
+            deblock_idc=np.ones((gh, gw), np.int8),
+            alpha_off=np.zeros((gh, gw), np.int8),
+            beta_off=np.zeros((gh, gw), np.int8),
         )
 
 
@@ -284,6 +291,12 @@ class SliceDecoder:
         addr = hdr.first_mb_in_slice
         n_mbs = sd.gw * sd.gh
         is_p = hdr.is_p
+
+        def mark_deblock(mx, my):
+            sd.deblock_idc[my, mx] = hdr.disable_deblocking_filter_idc
+            sd.alpha_off[my, mx] = 2 * hdr.slice_alpha_c0_offset_div2
+            sd.beta_off[my, mx] = 2 * hdr.slice_beta_offset_div2
+
         while addr < n_mbs:
             if not r.more_rbsp_data():
                 break
@@ -297,6 +310,7 @@ class SliceDecoder:
                     sd.mb_kind[my, mx] = MB_PSKIP
                     sd.slice_id[my, mx] = sid
                     sd.qp[my, mx] = qp_state[0]
+                    mark_deblock(mx, my)
                     sd.nnz_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                     sd.nnz_chroma[my * 2:my * 2 + 2,
                                   mx * 2:mx * 2 + 2, :] = 0
@@ -309,9 +323,11 @@ class SliceDecoder:
                     self._parse_p_mb(r, mx, my, mb_type, qp_state, sid)
                 else:
                     self._parse_i_mb(r, mx, my, mb_type - 5, qp_state, sid)
+                mark_deblock(mx, my)
             else:
                 mb_type = r.ue()
                 self._parse_i_mb(r, mx, my, mb_type, qp_state, sid)
+                mark_deblock(mx, my)
             addr += 1
 
     # -- P macroblocks ----------------------------------------------------
