@@ -3,12 +3,12 @@ pipeline -> output frames.
 
 Reference parity: ``hl_codec_264.c:79-397`` (_decode: header parse, EPB
 strip, NAL dispatch) + ``hl_codec_264_nal.c:29-257`` (slice pipeline
-orchestration).
+orchestration) + ``hl_codec_264_decode_avc.c`` (per-picture decode order:
+MV derivation -> inter pred -> intra -> deblock).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +16,7 @@ import numpy as np
 from hartallo_tpu.api import DecodeResult
 from hartallo_tpu.bitio import BitReader, strip_emulation_prevention
 from hartallo_tpu.decode import nal as N
+from hartallo_tpu.decode.dpb import DPB, Frame
 from hartallo_tpu.decode.intra_recon import (PAD, availability_masks,
                                              compute_residuals,
                                              intra_reconstruct,
@@ -25,6 +26,8 @@ from hartallo_tpu.decode.slice_decode import (MB_I16, MB_I4X4, MB_PCM,
                                               SliceData, SliceDecoder)
 from hartallo_tpu.decode.sliceheader import SliceHeader, parse_slice_header
 
+assert PAD == 32  # intra_recon and interpol share the pad geometry
+
 
 class Decoder:
     def __init__(self, dqid_min: int = -1, dqid_max: int = -1):
@@ -33,10 +36,10 @@ class Decoder:
         self.dqid_min = dqid_min
         self.dqid_max = dqid_max
         self._sched_cache = {}
-        # current-picture assembly state
         self._cur: Optional[SliceData] = None
         self._cur_hdr: Optional[SliceHeader] = None
-        self._dpb: List[np.ndarray] = []      # recon planes for inter pred
+        self._cur_nal: Optional[N.NalHeader] = None
+        self.dpb = DPB()
 
     # ------------------------------------------------------------------
     def decode_nal(self, nal_bytes: bytes) -> DecodeResult:
@@ -52,12 +55,10 @@ class Decoder:
             return DecodeResult()
         if hdr.type in (N.NAL_SLICE, N.NAL_SLICE_IDR):
             return self._decode_slice(r, hdr)
-        # SEI/AUD/filler/end markers: no output
         return DecodeResult()
 
     # ------------------------------------------------------------------
     def _decode_slice(self, r: BitReader, nh: N.NalHeader) -> DecodeResult:
-        # peek slice header fields to find the PPS/SPS
         sh = None
         for pps in self.pps_map.values():
             sps = self.sps_map[pps.seq_parameter_set_id]
@@ -80,13 +81,15 @@ class Decoder:
 
         if self._cur is None or sh.first_mb_in_slice == 0:
             self._cur = SliceData.create(gw, gh)
+            self._cur_hdr = sh
+            self._cur_nal = nh
         sd = self._cur
         dec = SliceDecoder(sps, pps, sd)
         dec.decode_slice_data(r, sh)
 
-        # picture complete when all MBs decoded
         if (sd.mb_kind >= 0).all():
-            frame = self._reconstruct(sps, pps, sh, sd)
+            frame = self._reconstruct(sps, pps, self._cur_hdr,
+                                      self._cur_nal, sd)
             self._cur = None
             return DecodeResult(frame=frame, width=sps.width,
                                 height=sps.height)
@@ -94,7 +97,7 @@ class Decoder:
 
     # ------------------------------------------------------------------
     def _reconstruct(self, sps: SPS, pps: PPS, sh: SliceHeader,
-                     sd: SliceData) -> np.ndarray:
+                     nh: N.NalHeader, sd: SliceData) -> np.ndarray:
         gw, gh = sd.gw, sd.gh
         W, H = gw * 16, gh * 16
 
@@ -105,18 +108,50 @@ class Decoder:
             jnp.asarray(sd.qp, jnp.int32), is_i16,
             pps.chroma_qp_index_offset)
 
-        # initial planes: PCM pixels pre-placed (they feed later neighbors)
+        has_inter = bool((sd.mb_kind >= 3).any())
+        if has_inter:
+            from hartallo_tpu.decode.inter_recon import inter_predict_frame
+            from hartallo_tpu.decode.mv import derive_mvs
+            derive_mvs(sd)
+            reflist = self.dpb.ref_list_p(
+                sh.frame_num, sps.max_frame_num,
+                mods=sh.ref_pic_list_mods_l0,
+                num_active=sh.num_ref_idx_l0_active_minus1 + 1)
+            if not reflist:
+                raise ValueError("P slice without reference frames")
+            ry = jnp.stack([f.planes_pad[0] for f in reflist])
+            ru = jnp.stack([f.planes_pad[1] for f in reflist])
+            rv = jnp.stack([f.planes_pad[2] for f in reflist])
+            pred_y, pred_c = inter_predict_frame(
+                ry, ru, rv, sd.mv, sd.ref_idx, gw, gh)
+            inter_mask = jnp.asarray(sd.mb_kind >= 3)
+            rec_y = jnp.clip(pred_y + res_y, 0, 255)
+            rec_c = jnp.clip(pred_c + res_c, 0, 255)
+        else:
+            inter_mask = None
+
+        # initial planes: PCM + inter recon pre-placed
         y0 = np.zeros((H, W), np.int32)
         u0 = np.zeros((H // 2, W // 2), np.int32)
         v0 = np.zeros((H // 2, W // 2), np.int32)
-        pcm = np.nonzero(sd.mb_kind == MB_PCM)
-        for my, mx in zip(*pcm):
+        for my, mx in zip(*np.nonzero(sd.mb_kind == MB_PCM)):
             y0[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
                 sd.pcm_luma[my, mx]
             u0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
                 sd.pcm_chroma[my, mx, 0]
             v0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
                 sd.pcm_chroma[my, mx, 1]
+        if has_inter:
+            rec_y_np = np.asarray(rec_y)
+            rec_c_np = np.asarray(rec_c)
+            im = sd.mb_kind >= 3
+            for my, mx in zip(*np.nonzero(im)):
+                y0[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
+                    rec_y_np[my, mx]
+                u0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+                    rec_c_np[my, mx, 0]
+                v0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+                    rec_c_np[my, mx, 1]
         padY = np.pad(y0, PAD).astype(np.int32)
         padU = np.pad(u0, PAD).astype(np.int32)
         padV = np.pad(v0, PAD).astype(np.int32)
@@ -148,7 +183,20 @@ class Decoder:
         y = np.asarray(pY)[PAD:PAD + H, PAD:PAD + W]
         u = np.asarray(pU)[PAD:PAD + H // 2, PAD:PAD + W // 2]
         v = np.asarray(pV)[PAD:PAD + H // 2, PAD:PAD + W // 2]
-        # TODO: DPB insert for inter prediction (next milestone)
+
+        # DPB bookkeeping (8.2.5): padded planes ready for MC
+        self.dpb.max_refs = sps.max_num_ref_frames
+        if nh.ref_idc != 0:
+            from hartallo_tpu.ops.interpol import pad_plane
+            planes_pad = (jnp.asarray(pad_plane(y)),
+                          jnp.asarray(pad_plane(u)),
+                          jnp.asarray(pad_plane(v)))
+            self.dpb.add(Frame(frame_num=sh.frame_num, poc=0,
+                               planes_pad=planes_pad),
+                         mmcos=sh.mmcos or None,
+                         idr=nh.type == N.NAL_SLICE_IDR,
+                         long_term_reference_flag=sh.long_term_reference_flag)
+
         frame = np.concatenate([y.astype(np.uint8).ravel(),
                                 u.astype(np.uint8).ravel(),
                                 v.astype(np.uint8).ravel()])
@@ -173,8 +221,7 @@ class Decoder:
         fmb_v = filter_internal & has_l & ((idc != 2) | same_slice_l)
         fmb_h = filter_internal & has_t & ((idc != 2) | same_slice_t)
 
-        mb_is_intra = sd.mb_kind <= 2  # I4x4/I16/PCM (kinds 0..2)
-        # per-4x4-block MV/ref grids (zeros for intra-only frames)
+        mb_is_intra = sd.mb_kind <= 2  # I4x4/I16/PCM
         mvg = sd.mv.transpose(0, 2, 1, 3, 4).reshape(4 * gh, 4 * gw, 2)
         refg = np.repeat(np.repeat(
             sd.ref_idx.reshape(gh, gw, 2, 2), 2, axis=2), 2, axis=3) \

@@ -59,7 +59,10 @@ class SliceData:
     slice_id: np.ndarray         # (gh,gw) int32, -1 = not decoded
     # inter fields
     mv: np.ndarray               # (gh,gw,4,4,2) int32 quarter-pel L0 MVs
+    mvd: np.ndarray              # (gh,gw,4,4,2) int32 parsed MV deltas
     ref_idx: np.ndarray          # (gh,gw,4) int8 per 8x8 partition
+    sub_types: np.ndarray        # (gh,gw,4) int8 P sub_mb_type (P_8x8 only)
+    num_ref_idx_active: np.ndarray = None   # (gh,gw) int8 (slice's l0 count)
     # per-MB deblock parameters (from the MB's slice header)
     deblock_idc: np.ndarray = None      # (gh,gw) int8, default 1 (off)
     alpha_off: np.ndarray = None        # (gh,gw) int8 (2*div2)
@@ -88,7 +91,10 @@ class SliceData:
             pcm_chroma=np.zeros((gh, gw, 2, 8, 8), np.uint8),
             slice_id=np.full((gh, gw), -1, np.int32),
             mv=np.zeros((gh, gw, 4, 4, 2), np.int32),
+            mvd=np.zeros((gh, gw, 4, 4, 2), np.int32),
             ref_idx=np.zeros((gh, gw, 4), np.int8),
+            sub_types=np.zeros((gh, gw, 4), np.int8),
+            num_ref_idx_active=np.ones((gh, gw), np.int8),
             deblock_idc=np.ones((gh, gw), np.int8),
             alpha_off=np.zeros((gh, gw), np.int8),
             beta_off=np.zeros((gh, gw), np.int8),
@@ -291,6 +297,7 @@ class SliceDecoder:
         addr = hdr.first_mb_in_slice
         n_mbs = sd.gw * sd.gh
         is_p = hdr.is_p
+        self._num_ref_idx_active = hdr.num_ref_idx_l0_active_minus1 + 1
 
         def mark_deblock(mx, my):
             sd.deblock_idc[my, mx] = hdr.disable_deblocking_filter_idc
@@ -333,17 +340,87 @@ class SliceDecoder:
     # -- P macroblocks ----------------------------------------------------
     def _parse_p_mb(self, r: BitReader, mx: int, my: int, mb_type: int,
                     qp_state: list, sid: int) -> None:
+        """mb_pred/sub_mb_pred syntax (spec 7.3.5.1/7.3.5.2, P slices):
+        raw ref_idx + mvd are stored; final MVs come from the MV
+        derivation pass (decode/mv.py, spec 8.4.1)."""
         sd = self.sd
         sd.slice_id[my, mx] = sid
         kind = (MB_P16X16, MB_P16X8, MB_P8X16, MB_P8X8, MB_P8X8)[mb_type]
         sd.mb_kind[my, mx] = kind
-        num_parts = int(P_MB_PART[mb_type, 0])
-        # note: mvd parse needs the MV *prediction* process which runs on
-        # device later; here we only parse raw mvd + refs. The mvd values
-        # are stored in sd.mv and converted to final MVs by the MV
-        # derivation pass (decode/mv.py).
-        raise NotImplementedError("P macroblock parsing lands with the "
-                                  "inter decode milestone")
+        nra = int(self._num_ref_idx_active)
+        sd.num_ref_idx_active[my, mx] = nra
+        ref_range = nra - 1
+
+        def read_ref():
+            return r.te(ref_range) if ref_range > 0 else 0
+
+        if kind == MB_P16X16:
+            ref = read_ref()
+            sd.ref_idx[my, mx, :] = ref
+            mvd = (r.se(), r.se())
+            sd.mvd[my, mx, :, :, 0] = mvd[0]
+            sd.mvd[my, mx, :, :, 1] = mvd[1]
+        elif kind in (MB_P16X8, MB_P8X16):
+            refs = [read_ref(), read_ref()]
+            mvds = [(r.se(), r.se()), (r.se(), r.se())]
+            if kind == MB_P16X8:
+                sd.ref_idx[my, mx, 0:2] = refs[0]
+                sd.ref_idx[my, mx, 2:4] = refs[1]
+                for p, (dx, dy) in enumerate(mvds):
+                    sd.mvd[my, mx, p * 2:p * 2 + 2, :, 0] = dx
+                    sd.mvd[my, mx, p * 2:p * 2 + 2, :, 1] = dy
+            else:
+                sd.ref_idx[my, mx, 0::2] = refs[0]
+                sd.ref_idx[my, mx, 1::2] = refs[1]
+                for p, (dx, dy) in enumerate(mvds):
+                    sd.mvd[my, mx, :, p * 2:p * 2 + 2, 0] = dx
+                    sd.mvd[my, mx, :, p * 2:p * 2 + 2, 1] = dy
+        else:  # P_8x8 / P_8x8ref0
+            subs = [r.ue() for _ in range(4)]
+            if any(s > 3 for s in subs):
+                raise ValueError("invalid P sub_mb_type")
+            sd.sub_types[my, mx] = subs
+            if mb_type == 4:  # P_8x8ref0
+                refs = [0, 0, 0, 0]
+            else:
+                refs = [read_ref() for _ in range(4)]
+            sd.ref_idx[my, mx, :] = refs
+            for part in range(4):
+                py, px = (part >> 1) * 2, (part & 1) * 2
+                st = subs[part]
+                nsub, sw4, sh4 = (int(P_SUB_MB_PART[st, 0]),
+                                  int(P_SUB_MB_PART[st, 1]) // 4,
+                                  int(P_SUB_MB_PART[st, 2]) // 4)
+                for sub in range(nsub):
+                    if st == 1:        # 8x4: subs stacked vertically
+                        sy, sx = py + sub, px
+                    elif st == 2:      # 4x8: side by side
+                        sy, sx = py, px + sub
+                    elif st == 3:      # 4x4 raster
+                        sy, sx = py + (sub >> 1), px + (sub & 1)
+                    else:
+                        sy, sx = py, px
+                    dx, dy = r.se(), r.se()
+                    sd.mvd[my, mx, sy:sy + sh4, sx:sx + sw4, 0] = dx
+                    sd.mvd[my, mx, sy:sy + sh4, sx:sx + sw4, 1] = dy
+
+        # coded_block_pattern + residual
+        code = r.ue()
+        if code > 47:
+            raise ValueError("invalid cbp codeNum")
+        cbp = int(CBP_ME_INTER[code])
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        sd.cbp_luma[my, mx] = cbp_luma
+        sd.cbp_chroma[my, mx] = cbp_chroma
+        if cbp_luma or cbp_chroma:
+            delta = r.se()
+            qp_state[0] = (qp_state[0] + delta + 52) % 52
+        sd.qp[my, mx] = qp_state[0]
+        if cbp_luma:
+            self._read_luma_residual(r, mx, my, False, cbp_luma, sid)
+        else:
+            sd.nnz_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        self._read_chroma_residual(r, mx, my, cbp_chroma, sid)
 
 
 def _blk_idx(bx: int, by: int) -> int:

@@ -11,9 +11,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import pathlib
 import subprocess
 
+import jax
 import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+
+# Persistent XLA compilation cache: the wavefront kernels compile once per
+# (gw, gh) and are reused across test runs.
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFBUILD = REPO / ".refbuild"
 REF_DRIVER = REFBUILD / "ref_driver"
 

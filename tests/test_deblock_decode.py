@@ -1,6 +1,9 @@
 """End-to-end I-frame decode WITH in-loop deblocking: bit-exact vs the
 reference decoder (exercises bS 3/4, strong+weak filters, alpha/beta/tc0)."""
+import os
 import subprocess
+
+REF_ENV = dict(os.environ, REF_NO_SIMD="1")
 
 import numpy as np
 import pytest
@@ -35,7 +38,7 @@ def ref_deblock_stream(ref_driver, tmp_path_factory):
                    check=True, capture_output=True, timeout=300)
     refyuv = tmp / "ref.yuv"
     subprocess.run([ref_driver, "decode", str(out264), str(refyuv), "1"],
-                   check=True, capture_output=True, timeout=300)
+                   check=True, env=REF_ENV, capture_output=True, timeout=300)
     return out264.read_bytes(), refyuv.read_bytes(), W, H, NF
 
 

@@ -2,7 +2,10 @@
 output on a reference-encoded stream (deblocking off).  This is the
 "minimum end-to-end slice" milestone of SURVEY.md §7 step 3."""
 import pathlib
+import os
 import subprocess
+
+REF_ENV = dict(os.environ, REF_NO_SIMD="1")
 
 import numpy as np
 import pytest
@@ -41,7 +44,7 @@ def ref_intra_stream(ref_driver, tmp_path_factory):
                    check=True, capture_output=True, timeout=300)
     refyuv = tmp / "ref.yuv"
     subprocess.run([ref_driver, "decode", str(out264), str(refyuv), "1"],
-                   check=True, capture_output=True, timeout=300)
+                   check=True, env=REF_ENV, capture_output=True, timeout=300)
     return out264.read_bytes(), refyuv.read_bytes(), W, H, NF
 
 

@@ -1,7 +1,10 @@
 """SPS/PPS/slice-header parsing tests against a stream produced by the
 reference encoder (oracle), plus write/parse round-trips."""
 import pathlib
+import os
 import subprocess
+
+REF_ENV = dict(os.environ, REF_NO_SIMD="1")
 
 import numpy as np
 import pytest

@@ -117,6 +117,11 @@ int main(int argc, char** argv)
     if (argc < 2) { fprintf(stderr, "usage: decode|encode ...\n"); return 1; }
     hl_debug_set_cb(quiet_dbg);
     if (hl_engine_init()) { fprintf(stderr, "engine init failed\n"); return 1; }
+    if (getenv("REF_NO_SIMD")) {
+        /* portable-C kernels only: the reference's own tests note that its
+         * SIMD interpolation clips differently from the C path */
+        if (hl_engine_set_cpu_flags(0)) { return 1; }
+    }
     if (!strcmp(argv[1], "decode")) {
         if (argc < 4) return 1;
         return do_decode(argv[2], argv[3], argc > 4 ? atoi(argv[4]) : 1);
