@@ -1,0 +1,241 @@
+"""Encoder front-end: GOP control, parameter-set generation, device
+encode passes, host packing, in-loop recon for the DPB.
+
+Reference parity: ``hl_codec_264.c:404-1104`` (_encode: SPS/PPS lifecycle,
+GOP/IDR logic, slice assembly with start codes, DPB add) and
+``hl_codec_264_encode.c`` (encode_frame / _encode_slice).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hartallo_tpu.api import CodecConfig, EncodeResult
+from hartallo_tpu.bitio import BitWriter, insert_emulation_prevention
+from hartallo_tpu.decode import nal as N
+from hartallo_tpu.decode.intra_recon import PAD, wavefront_schedule
+from hartallo_tpu.decode.params import PPS, SPS
+from hartallo_tpu.decode.sliceheader import SliceHeader, write_slice_header
+from hartallo_tpu.encode.intra_encode import intra_encode_frame
+from hartallo_tpu.encode.slice_encode import FramePacker
+
+
+def _guess_level(width: int, height: int) -> int:
+    """Level from frame size (same ladder as the reference,
+    hl_codec_264_utils.c:15-58)."""
+    table = [(128, 96, 10), (176, 144, 11), (320, 240, 12), (352, 288, 13),
+             (352, 480, 21), (720, 480, 30), (1280, 720, 31),
+             (2048, 1024, 40), (2048, 1080, 42), (2560, 1920, 50),
+             (3840, 2160, 51)]
+    for w, h, lvl in table:
+        if w >= width and h >= height:
+            return lvl
+    return 51
+
+
+def _annexb(nal_payload: bytes) -> bytes:
+    return b"\x00\x00\x00\x01" + nal_payload
+
+
+class Encoder:
+    def __init__(self, config: CodecConfig):
+        self.cfg = config
+        self.frame_idx = 0
+        self.gop_left = 0
+        self.idr_pic_id = 0
+        self.frame_num = 0
+        self.sps: Optional[SPS] = None
+        self.pps: Optional[PPS] = None
+        self._sched_cache = {}
+        self._ref_planes = None      # deblocked recon (padded) for P frames
+        self._headers = b""
+
+    # ------------------------------------------------------------------
+    def _setup(self, width: int, height: int) -> None:
+        gw, gh = (width + 15) // 16, (height + 15) // 16
+        sps = SPS(profile_idc=66, constraint_set_flags=0x40,
+                  level_idc=_guess_level(width, height),
+                  log2_max_frame_num_minus4=4, pic_order_cnt_type=2,
+                  max_num_ref_frames=1,
+                  pic_width_in_mbs_minus1=gw - 1,
+                  pic_height_in_map_units_minus1=gh - 1)
+        if width % 16 or height % 16:
+            sps.frame_cropping_flag = 1
+            sps.frame_crop_right_offset = (gw * 16 - width) // 2
+            sps.frame_crop_bottom_offset = (gh * 16 - height) // 2
+        pps = PPS(deblocking_filter_control_present_flag=1,
+                  pic_init_qp_minus26=max(-26, min(25,
+                                                   self.cfg.qp - 26)))
+        self.sps, self.pps = sps, pps
+        w = BitWriter()
+        N.write_nal_header(w, 3, N.NAL_SPS)
+        sps.write(w)
+        sps_nal = insert_emulation_prevention(w.getvalue())
+        w = BitWriter()
+        N.write_nal_header(w, 3, N.NAL_PPS)
+        pps.write(w)
+        pps_nal = insert_emulation_prevention(w.getvalue())
+        self._headers = _annexb(sps_nal) + _annexb(pps_nal)
+
+    # ------------------------------------------------------------------
+    def encode_frame(self, frame: np.ndarray, width: int,
+                     height: int) -> EncodeResult:
+        """frame: packed I420 uint8 array/bytes of size w*h*3/2."""
+        if self.sps is None:
+            self._setup(width, height)
+        sps, pps = self.sps, self.pps
+        gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+        W, H = gw * 16, gh * 16
+
+        buf = np.frombuffer(bytes(frame), np.uint8) if not \
+            isinstance(frame, np.ndarray) else frame.ravel()
+        ysz = width * height
+        y = buf[:ysz].reshape(height, width).astype(np.int32)
+        u = buf[ysz:ysz + ysz // 4].reshape(height // 2,
+                                            width // 2).astype(np.int32)
+        v = buf[ysz + ysz // 4:ysz + ysz // 2].reshape(
+            height // 2, width // 2).astype(np.int32)
+        # pad source to MB multiple (edge replicate) then PAD border
+        y = np.pad(y, ((0, H - height), (0, W - width)), mode="edge")
+        u = np.pad(u, ((0, (H - height) // 2), (0, (W - width) // 2)),
+                   mode="edge")
+        v = np.pad(v, ((0, (H - height) // 2), (0, (W - width) // 2)),
+                   mode="edge")
+        srcY = jnp.asarray(np.pad(y, PAD, mode="edge"))
+        srcU = jnp.asarray(np.pad(u, PAD, mode="edge"))
+        srcV = jnp.asarray(np.pad(v, PAD, mode="edge"))
+
+        is_idr = self.gop_left <= 0 or self._ref_planes is None
+        if is_idr:
+            self.gop_left = max(self.cfg.gop_size, 1)
+            self.frame_num = 0
+        self.gop_left -= 1
+
+        key = (gw, gh)
+        if key not in self._sched_cache:
+            self._sched_cache[key] = jnp.asarray(wavefront_schedule(gw, gh))
+        sched = self._sched_cache[key]
+
+        qp = np.full((gh, gw), self.cfg.qp, np.int32)
+        lam = np.float32(np.sqrt(0.85 * 2.0 ** ((self.cfg.qp - 12) / 3.0)))
+        avail_l = np.zeros((gh, gw), bool)
+        avail_l[:, 1:] = True
+        avail_t = np.zeros((gh, gw), bool)
+        avail_t[1:, :] = True
+
+        if is_idr:
+            recY, recU, recV, arrays = intra_encode_frame(
+                srcY, srcU, srcV, jnp.asarray(qp),
+                pps.chroma_qp_index_offset,
+                jnp.asarray(avail_l), jnp.asarray(avail_t), sched, lam,
+                gw=gw, gh=gh)
+            arrays = {k: np.asarray(val) for k, val in arrays.items()}
+            mb_kind = np.where(arrays["use_i16"] > 0, 1, 0).astype(np.int8)
+            payload = self._pack_frame(arrays, qp, mb_kind, is_idr=True,
+                                       is_p=False)
+        else:
+            recY, recU, recV, arrays, mb_kind, payload = \
+                self._encode_p(srcY, srcU, srcV, qp, lam, sched, gw, gh)
+
+        # in-loop deblock of the recon for the DPB (matches the decoder)
+        if self.cfg.deblock:
+            recY, recU, recV = self._deblock_recon(
+                arrays, qp, mb_kind, (recY, recU, recV), sched, gw, gh)
+        self._ref_planes = (recY, recU, recV)
+        self.frame_num = (self.frame_num + 1) % sps.max_frame_num
+        self.frame_idx += 1
+
+        headers = self._headers if is_idr else b""
+        return EncodeResult(data=_annexb(payload), headers=headers,
+                            keyframe=is_idr)
+
+    # ------------------------------------------------------------------
+    def _pack_frame(self, arrays: dict, qp: np.ndarray, mb_kind: np.ndarray,
+                    *, is_idr: bool, is_p: bool) -> bytes:
+        sps, pps = self.sps, self.pps
+        gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+        hdr = SliceHeader(
+            first_mb_in_slice=0,
+            slice_type=7 if not is_p else 5,   # all-slices-same convention
+            pic_parameter_set_id=0,
+            frame_num=0 if is_idr else self.frame_num,
+            idr_pic_id=self.idr_pic_id if is_idr else 0,
+            slice_qp_delta=int(qp[0, 0]) - pps.pic_init_qp,
+            disable_deblocking_filter_idc=0 if self.cfg.deblock else 1)
+        if is_idr:
+            self.idr_pic_id = (self.idr_pic_id + 1) % 16
+
+        w = BitWriter()
+        ntype = N.NAL_SLICE_IDR if is_idr else N.NAL_SLICE
+        N.write_nal_header(w, 3, ntype)
+        write_slice_header(w, hdr, sps, pps, nal_ref_idc=3, is_idr=is_idr)
+        packer = FramePacker(gw, gh, arrays, qp, mb_kind)
+        qp_state = [hdr.slice_qp(pps)]
+        if is_p:
+            self._write_p_slice_data(w, packer, qp_state)
+        else:
+            for my in range(gh):
+                for mx in range(gw):
+                    packer.write_i_mb(w, mx, my, qp_state, 0)
+        w.write_rbsp_trailing_bits()
+        return insert_emulation_prevention(w.getvalue())
+
+    # ------------------------------------------------------------------
+    def _encode_p(self, srcY, srcU, srcV, qp, lam, sched, gw, gh):
+        raise NotImplementedError("P-frame encoding lands next milestone")
+
+    def _write_p_slice_data(self, w, packer, qp_state):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def _deblock_recon(self, arrays, qp, mb_kind, planes, sched, gw, gh):
+        from hartallo_tpu.core.tables import QP_SCALE_CHROMA
+        from hartallo_tpu.ops.deblock import compute_bs, deblock_frame
+
+        nnz = np.zeros((4 * gh, 4 * gw), np.int16)
+        ac = arrays["luma_ac"]                       # (gh,gw,16,4,4)
+        counts = (ac != 0).sum(axis=(-1, -2))        # (gh,gw,16)
+        from hartallo_tpu.core.tables import LUMA_4x4_BLK_XY
+        for blk in range(16):
+            bx = LUMA_4x4_BLK_XY[blk, 0] // 4
+            by = LUMA_4x4_BLK_XY[blk, 1] // 4
+            nnz[by::4, bx::4] = counts[:, :, blk]
+        # NOTE: nnz intentionally counts AC TotalCoeff only — identical to
+        # what the decoder reconstructs from CAVLC, so encoder and decoder
+        # run the same deblock decisions.
+
+        mb_is_intra = mb_kind <= 2
+        if "mv44" in arrays:
+            mvg = arrays["mv44"].transpose(0, 2, 1, 3, 4).reshape(
+                4 * gh, 4 * gw, 2)
+            refg = np.zeros((4 * gh, 4 * gw), np.int32)
+        else:
+            mvg = np.zeros((4 * gh, 4 * gw, 2), np.int32)
+            refg = np.zeros((4 * gh, 4 * gw), np.int32)
+
+        fint = np.ones((gh, gw), bool)
+        fmb_v = np.zeros((gh, gw), bool)
+        fmb_v[:, 1:] = True
+        fmb_h = np.zeros((gh, gw), bool)
+        fmb_h[1:, :] = True
+
+        bs_v, bs_h = compute_bs(
+            jnp.asarray(mb_is_intra), jnp.asarray(nnz, jnp.int32),
+            jnp.asarray(mvg, jnp.int32), jnp.asarray(refg, jnp.int32),
+            jnp.asarray(fmb_v), jnp.asarray(fmb_h), jnp.asarray(fint))
+
+        qp = qp.astype(np.int32)
+        qp_l = np.concatenate([qp[:, :1], qp[:, :-1]], axis=1)
+        qp_t = np.concatenate([qp[:1, :], qp[:-1, :]], axis=0)
+        qpc = QP_SCALE_CHROMA[np.clip(
+            qp + self.pps.chroma_qp_index_offset, 0, 51)]
+        qpc_l = np.concatenate([qpc[:, :1], qpc[:, :-1]], axis=1)
+        qpc_t = np.concatenate([qpc[:1, :], qpc[:-1, :]], axis=0)
+        zeros = np.zeros((gh, gw), np.int32)
+        return deblock_frame(
+            planes, bs_v, bs_h,
+            jnp.asarray(qp), jnp.asarray(qp_l), jnp.asarray(qp_t),
+            jnp.asarray(qpc), jnp.asarray(qpc_l), jnp.asarray(qpc_t),
+            jnp.asarray(zeros), jnp.asarray(zeros), sched, gw=gw, gh=gh)
