@@ -1,0 +1,151 @@
+"""Motion estimation as batched SAD reductions over the candidate grid.
+
+Reference parity: the active diamond search ``hl_codec_264_me_ds.c:104-688``
+(int -> half -> quarter phases, cost = SAD + lambda_motion * mvd-bits) and
+the partition preselection of ``hl_codec_264_rdo.c:890-933``.  TPU
+re-expression (BASELINE.json north star): *full-search* integer ME — one
+scan over all (2R+1)^2 offsets, each step a whole-frame |src-ref| + box
+reduction producing per-8x8 SADs, from which 16x16/16x8/8x16/8x8 partition
+costs fall out as sums; then two batched 9-point sub-pel refinement rounds
+(half, quarter) at 4x4-block granularity with per-partition aggregation.
+Full search beats the reference's diamond search in RD while mapping
+perfectly onto the VPU.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hartallo_tpu.ops.interpol import PAD, luma_mc_blocks
+
+
+def _se_bits(v):
+    """Exp-Golomb signed code length for v (jnp)."""
+    k = 2 * jnp.abs(v)
+    # codeNum k (or k-1); length = 2*floor(log2(codeNum+1)) + 1
+    return 2 * jnp.floor(jnp.log2(k.astype(jnp.float32) + 1.0)) + 1.0
+
+
+@partial(jax.jit, static_argnames=("gw", "gh", "rng"))
+def full_search_int(src_pad, ref_pad, lam_motion, *, gw: int, gh: int,
+                    rng: int):
+    """Integer full search.  Returns per-partition best integer MVs
+    (in pel units) and SADs:
+      mv16 (gh,gw,2), sad16 (gh,gw)
+      mv168 (gh,gw,2,2), sad168 (gh,gw,2)      [16x8 parts]
+      mv816 (gh,gw,2,2), sad816 (gh,gw,2)      [8x16 parts]
+      mv88 (gh,gw,4,2), sad88 (gh,gw,4)        [8x8 parts]
+    Costs include lambda_motion * mvd-bits with a zero MV predictor
+    (approximation; exact MVD rate is applied at pack time).
+    """
+    H, W = gh * 16, gw * 16
+    side = 2 * rng + 1
+    C = side * side
+
+    def sad_cost(c):
+        dy = c // side - rng
+        dx = c % side - rng
+        shifted = jax.lax.dynamic_slice(
+            ref_pad, (PAD + dy, PAD + dx), (H, W))
+        src = jax.lax.dynamic_slice(src_pad, (PAD, PAD), (H, W))
+        diff = jnp.abs(src - shifted)
+        s8 = diff.reshape(2 * gh, 8, 2 * gw, 8).sum(axis=(1, 3))  # (2gh,2gw)
+        mv_pen = lam_motion * (_se_bits(dx * 4) + _se_bits(dy * 4))
+        return s8.astype(jnp.float32), mv_pen, dx, dy
+
+    def step(carry, c):
+        (b16c, b16v, b168c, b168v, b816c, b816v, b88c, b88v) = carry
+        s8, pen, dx, dy = sad_cost(c)
+        q = s8.reshape(gh, 2, gw, 2).transpose(0, 2, 1, 3)  # (gh,gw,2,2)
+        s88 = q.reshape(gh, gw, 4)                          # [sy*2+sx]
+        s16 = s88.sum(-1)
+        s168 = jnp.stack([s88[..., 0] + s88[..., 1],
+                          s88[..., 2] + s88[..., 3]], -1)
+        s816 = jnp.stack([s88[..., 0] + s88[..., 2],
+                          s88[..., 1] + s88[..., 3]], -1)
+        mv = jnp.stack([jnp.int32(dx), jnp.int32(dy)])
+
+        def upd(best_c, best_v, cost):
+            better = cost + pen < best_c
+            return (jnp.where(better, cost + pen, best_c),
+                    jnp.where(better[..., None], mv, best_v))
+
+        b16c, b16v = upd(b16c, b16v, s16)
+        b168c, b168v = upd(b168c, b168v, s168)
+        b816c, b816v = upd(b816c, b816v, s816)
+        b88c, b88v = upd(b88c, b88v, s88)
+        return (b16c, b16v, b168c, b168v, b816c, b816v, b88c, b88v), None
+
+    big = jnp.float32(1e18)
+    init = (jnp.full((gh, gw), big), jnp.zeros((gh, gw, 2), jnp.int32),
+            jnp.full((gh, gw, 2), big), jnp.zeros((gh, gw, 2, 2), jnp.int32),
+            jnp.full((gh, gw, 2), big), jnp.zeros((gh, gw, 2, 2), jnp.int32),
+            jnp.full((gh, gw, 4), big), jnp.zeros((gh, gw, 4, 2), jnp.int32))
+    out, _ = jax.lax.scan(step, init, jnp.arange(C))
+    return out
+
+
+# 4x4 blocks (by,bx raster) -> partition index per partition scheme
+_PART_OF_BLK = {
+    "16x16": np.zeros((4, 4), np.int32),
+    "16x8": np.repeat(np.arange(2), 2)[:, None] * np.ones((1, 4), np.int32),
+    "8x16": np.ones((4, 1), np.int32) * np.repeat(np.arange(2), 2)[None, :],
+    "8x8": (np.repeat(np.arange(2), 2)[:, None] * 2 +
+            np.repeat(np.arange(2), 2)[None, :]),
+}
+
+
+@partial(jax.jit, static_argnames=("gw", "gh", "nparts"))
+def refine_subpel(src_pad, ref_pad, mv_blk, part_of_blk, lam_motion,
+                  step_qpel, *, gw: int, gh: int, nparts: int):
+    """One 9-point refinement round at +-step_qpel quarter-pel units.
+
+    mv_blk (gh,gw,16,2) quarter-pel MVs per 4x4 block (same within each
+    partition); part_of_blk (gh,gw,16) partition id in [0,nparts);
+    Returns updated mv_blk and per-partition cost (gh,gw,nparts).
+    """
+    n = gh * gw * 16
+    myg, mxg, byg, bxg = np.meshgrid(np.arange(gh), np.arange(gw),
+                                     np.arange(4), np.arange(4),
+                                     indexing="ij")
+    bx = jnp.asarray((mxg * 16 + bxg * 4).reshape(n).astype(np.int32))
+    by = jnp.asarray((myg * 16 + byg * 4).reshape(n).astype(np.int32))
+    src_blocks = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(src_pad, (y, x), (4, 4))
+    )(by + PAD, bx + PAD)                                   # (n,4,4)
+
+    deltas = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
+              (-1, -1), (1, -1), (-1, 1), (1, 1)]
+    mvf = mv_blk.reshape(n, 2)
+    costs = []
+    for (ddx, ddy) in deltas:
+        mvx = mvf[:, 0] + ddx * step_qpel
+        mvy = mvf[:, 1] + ddy * step_qpel
+        pred = luma_mc_blocks(ref_pad, bx, by, mvx, mvy)
+        sad = jnp.abs(pred - src_blocks).sum(axis=(1, 2)) \
+            .astype(jnp.float32).reshape(gh, gw, 16)
+        # aggregate per partition
+        onehot = jax.nn.one_hot(part_of_blk, nparts, dtype=jnp.float32)
+        psad = jnp.einsum("ghbn,ghb->ghn", onehot, sad)
+        # rate term: bits of the refined MV (zero-pred approximation)
+        mvxp = mv_blk[..., 0] + ddx * step_qpel
+        mvyp = mv_blk[..., 1] + ddy * step_qpel
+        pbits = jnp.einsum(
+            "ghbn,ghb->ghn", onehot,
+            (_se_bits(mvxp) + _se_bits(mvyp))) / \
+            jnp.maximum(jnp.einsum("ghbn->ghn", onehot), 1.0)
+        costs.append(psad + lam_motion * pbits)
+    cost_stack = jnp.stack(costs)                           # (9,gh,gw,np)
+    best = jnp.argmin(cost_stack, axis=0)                   # (gh,gw,np)
+    best_cost = jnp.min(cost_stack, axis=0)
+    dxs = jnp.asarray([d[0] for d in deltas], jnp.int32)
+    dys = jnp.asarray([d[1] for d in deltas], jnp.int32)
+    dd = jnp.stack([dxs[best], dys[best]], axis=-1)         # (gh,gw,np,2)
+    # scatter partition delta back to blocks
+    dd_blk = jnp.stack([
+        jnp.take_along_axis(dd[..., 0], part_of_blk, axis=2),
+        jnp.take_along_axis(dd[..., 1], part_of_blk, axis=2)], axis=-1)
+    return mv_blk + dd_blk * step_qpel, best_cost

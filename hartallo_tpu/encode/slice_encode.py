@@ -184,3 +184,67 @@ class FramePacker:
         else:
             self.nnz_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
         self._write_chroma(w, mx, my, cbp_chroma, sid)
+
+    # -- P macroblocks ----------------------------------------------------
+    def mark_skip(self, mx: int, my: int, sid: int) -> None:
+        self.slice_of_mb[my, mx] = sid
+        self.nnz_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        self.nnz_chroma[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2, :] = 0
+
+    def write_p_mb(self, w: BitWriter, mx: int, my: int, qp_state: list,
+                   sid: int, mvd: np.ndarray, num_ref: int = 1) -> None:
+        """mvd: (gh,gw,4,4,2) from compute_mvds_and_skip."""
+        from hartallo_tpu.decode.slice_decode import (MB_P16X16, MB_P16X8,
+                                                      MB_P8X16, MB_P8X8)
+        a = self.a
+        self.slice_of_mb[my, mx] = sid
+        kind = int(self.mb_kind[my, mx])
+        mb_type = {MB_P16X16: 0, MB_P16X8: 1, MB_P8X16: 2, MB_P8X8: 3}[kind]
+        w.ue(mb_type)
+        refs = a["ref_idx"][my, mx]
+        d = mvd[my, mx]
+
+        def wref(slot):
+            if num_ref > 1:
+                w.te(int(refs[slot]), num_ref - 1)
+
+        if kind == MB_P16X16:
+            wref(0)
+            w.se(int(d[0, 0, 0]))
+            w.se(int(d[0, 0, 1]))
+        elif kind == MB_P16X8:
+            wref(0)
+            wref(2)
+            for iy in (0, 2):
+                w.se(int(d[iy, 0, 0]))
+                w.se(int(d[iy, 0, 1]))
+        elif kind == MB_P8X16:
+            wref(0)
+            wref(1)
+            for ix in (0, 2):
+                w.se(int(d[0, ix, 0]))
+                w.se(int(d[0, ix, 1]))
+        else:  # P_8x8
+            subs = a["sub_types"][my, mx]
+            for part in range(4):
+                w.ue(int(subs[part]))
+            for part in range(4):
+                wref(part)
+            from hartallo_tpu.decode.mv import _sub_geometry
+            for part in range(4):
+                py, px = (part >> 1) * 2, (part & 1) * 2
+                for (ox, oy_, w4, h4) in _sub_geometry(int(subs[part])):
+                    w.se(int(d[py + oy_, px + ox, 0]))
+                    w.se(int(d[py + oy_, px + ox, 1]))
+
+        cbp_luma, cbp_chroma = self._derive_cbp(mx, my, False)
+        w.ue(int(CBP_ME_INTER_INV[cbp_luma | (cbp_chroma << 4)]))
+        if cbp_luma or cbp_chroma:
+            delta = int(self.qp[my, mx]) - qp_state[0]
+            w.se(delta)
+            qp_state[0] = int(self.qp[my, mx])
+        if cbp_luma:
+            self._write_luma(w, mx, my, False, cbp_luma, sid)
+        else:
+            self.nnz_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        self._write_chroma(w, mx, my, cbp_chroma, sid)
