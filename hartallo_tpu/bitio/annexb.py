@@ -83,6 +83,14 @@ def strip_emulation_prevention(nal: bytes) -> bytes:
 def insert_emulation_prevention(rbsp: bytes) -> bytes:
     """Insert emulation_prevention_three_byte so no 00 00 0x (x<=3) pattern
     appears in the NAL payload (spec 7.4.1.1)."""
+    # fast path: no 00 00 0x candidates at all (the common case)
+    buf = np.frombuffer(rbsp, dtype=np.uint8)
+    if buf.size >= 3:
+        z = buf == 0
+        if not (z[:-2] & z[1:-1] & (buf[2:] <= 3)).any():
+            return rbsp
+    elif buf.size < 3:
+        return rbsp
     out = bytearray()
     zeros = 0
     for b in rbsp:

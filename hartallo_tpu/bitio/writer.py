@@ -66,6 +66,14 @@ class BitWriter:
         while not self.byte_aligned():
             self.u1(0)
 
+    def partial(self):
+        """Return (bytes incl. the in-progress byte, bit position) — used
+        to hand off to the native packer which continues in-place."""
+        data = bytes(self._out)
+        if self._accbits:
+            data += bytes([(self._acc << (8 - self._accbits)) & 0xFF])
+        return data, self.bitpos
+
     def getvalue(self) -> bytes:
         """Return the written bytes (must be byte-aligned)."""
         if self._accbits:

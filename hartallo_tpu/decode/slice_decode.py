@@ -299,6 +299,18 @@ class SliceDecoder:
         is_p = hdr.is_p
         self._num_ref_idx_active = hdr.num_ref_idx_l0_active_minus1 + 1
 
+        from hartallo_tpu import native
+        if native.available():
+            n, _ = native.parse_slice_data(
+                r.data, r.pos, sd, first_mb=addr, slice_qp=qp_state[0],
+                is_p=is_p, num_ref=self._num_ref_idx_active, sid=sid,
+                deblock_idc=hdr.disable_deblocking_filter_idc,
+                alpha_off=2 * hdr.slice_alpha_c0_offset_div2,
+                beta_off=2 * hdr.slice_beta_offset_div2)
+            if n < 0:
+                raise ValueError(f"native slice parse failed ({n})")
+            return
+
         def mark_deblock(mx, my):
             sd.deblock_idc[my, mx] = hdr.disable_deblocking_filter_idc
             sd.alpha_off[my, mx] = 2 * hdr.slice_alpha_c0_offset_div2

@@ -52,6 +52,7 @@ class Encoder:
         self._sched_cache = {}
         self._ref_planes = None      # deblocked recon (padded) for P frames
         self._headers = b""
+        self._rc = None              # JVT-G012 controller when rc enabled
 
     # ------------------------------------------------------------------
     def _setup(self, width: int, height: int) -> None:
@@ -119,8 +120,25 @@ class Encoder:
             self._sched_cache[key] = jnp.asarray(wavefront_schedule(gw, gh))
         sched = self._sched_cache[key]
 
-        qp = np.full((gh, gw), self.cfg.qp, np.int32)
-        lam = np.float32(np.sqrt(0.85 * 2.0 ** ((self.cfg.qp - 12) / 3.0)))
+        # rate control (JVT-G012 frame-level) or fixed QP
+        if self.cfg.rc_bitrate and self.cfg.rc_bitrate > 0:
+            if self._rc is None:
+                from hartallo_tpu.encode.ratecontrol import RateControl
+                fnum, fden = self.cfg.fps
+                self._rc = RateControl(
+                    bitrate=float(self.cfg.rc_bitrate),
+                    fps=float(fden) / float(fnum),
+                    width=width, height=height,
+                    gop_size=max(self.cfg.gop_size, 1),
+                    qp_min=self.cfg.rc_qp_min, qp_max=self.cfg.rc_qp_max)
+            if is_idr:
+                self._rc.start_gop()
+            qp_val = self._rc.frame_qp(is_idr)
+        else:
+            qp_val = self.cfg.qp
+
+        qp = np.full((gh, gw), qp_val, np.int32)
+        lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp_val - 12) / 3.0)))
         avail_l = np.zeros((gh, gw), bool)
         avail_l[:, 1:] = True
         avail_t = np.zeros((gh, gw), bool)
@@ -149,6 +167,12 @@ class Encoder:
         self.frame_idx += 1
 
         headers = self._headers if is_idr else b""
+        if self._rc is not None:
+            mad = float(jnp.mean(jnp.abs(
+                jax.lax.dynamic_slice(srcY, (PAD, PAD), (H, W)) -
+                jax.lax.dynamic_slice(recY, (PAD, PAD), (H, W)))))
+            bits = (len(payload) + len(headers)) * 8
+            self._rc.end_frame(qp_val, bits, mad, is_idr)
         return EncodeResult(data=_annexb(payload), headers=headers,
                             keyframe=is_idr)
 
@@ -172,14 +196,18 @@ class Encoder:
         ntype = N.NAL_SLICE_IDR if is_idr else N.NAL_SLICE
         N.write_nal_header(w, 3, ntype)
         write_slice_header(w, hdr, sps, pps, nal_ref_idc=3, is_idr=is_idr)
+        from hartallo_tpu import native
+        if native.available():
+            hdr_bytes, hdr_bits = w.partial()
+            rbsp = native.pack_slice_data(
+                hdr_bytes, hdr_bits, gw, gh, hdr.slice_qp(pps), False, 1,
+                0, arrays, qp, mb_kind)
+            return insert_emulation_prevention(rbsp)
         packer = FramePacker(gw, gh, arrays, qp, mb_kind)
         qp_state = [hdr.slice_qp(pps)]
-        if is_p:
-            self._write_p_slice_data(w, packer, qp_state)
-        else:
-            for my in range(gh):
-                for mx in range(gw):
-                    packer.write_i_mb(w, mx, my, qp_state, 0)
+        for my in range(gh):
+            for mx in range(gw):
+                packer.write_i_mb(w, mx, my, qp_state, 0)
         w.write_rbsp_trailing_bits()
         return insert_emulation_prevention(w.getvalue())
 
@@ -351,6 +379,13 @@ class Encoder:
         w = BitWriter()
         N.write_nal_header(w, 2, N.NAL_SLICE)
         write_slice_header(w, hdr, sps, pps, nal_ref_idc=2, is_idr=False)
+        from hartallo_tpu import native
+        if native.available():
+            hdr_bytes, hdr_bits = w.partial()
+            rbsp = native.pack_slice_data(
+                hdr_bytes, hdr_bits, gw, gh, hdr.slice_qp(pps), True, 1,
+                0, arrays, qp, mb_kind, mvd=mvd, skip_ok=skip_ok)
+            return insert_emulation_prevention(rbsp)
         packer = FramePacker(gw, gh, arrays, qp, mb_kind)
         qp_state = [hdr.slice_qp(pps)]
         run = 0

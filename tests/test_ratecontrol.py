@@ -1,0 +1,58 @@
+"""JVT-G012 rate control: achieved bitrate must track the target and the
+stream must stay conformant (self-decodable)."""
+import numpy as np
+import pytest
+
+from hartallo_tpu.api import Codec, CodecConfig
+from hartallo_tpu.encode.ratecontrol import (RateControl, guess_best_bitrate,
+                                             qp2qstep, qstep2qp)
+
+W, H, NF = 176, 144, 12
+
+
+def test_qstep_roundtrip():
+    for qp in range(52):
+        assert qstep2qp(qp2qstep(qp)) == qp
+
+
+def test_guess_best_bitrate():
+    b = guess_best_bitrate(2, 352, 288, 15.0)
+    assert 100_000 < b < 400_000
+
+
+def _clip():
+    rng = np.random.default_rng(8)
+    frames = []
+    for t in range(NF):
+        x = np.arange(W)[None, :]
+        y = np.arange(H)[:, None]
+        Y = ((x + 2 * y) % 256).astype(np.int32)
+        Y[30 + 2 * t:70 + 2 * t, 40 + 5 * t:100 + 5 * t] = 200
+        Y = np.clip(Y + rng.integers(0, 10, (H, W)), 0, 255)
+        U = np.full((H // 2, W // 2), 100, np.uint8)
+        V = np.full((H // 2, W // 2), 150, np.uint8)
+        frames.append(np.concatenate([Y.astype(np.uint8).ravel(),
+                                      U.ravel(), V.ravel()]))
+    return frames
+
+
+@pytest.mark.parametrize("target_bps", [150_000, 400_000])
+def test_rc_tracks_target(target_bps):
+    fps = 30.0
+    cfg = CodecConfig(width=W, height=H, gop_size=NF, deblock=True,
+                      me_range=8, rc_bitrate=target_bps, fps=(1, 30))
+    codec = Codec(cfg)
+    total_bits = 0
+    stream = b""
+    for f in _clip():
+        r = codec.encode(f, W, H)
+        stream += r.headers + r.data
+        total_bits += (len(r.headers) + len(r.data)) * 8
+    achieved_bps = total_bits * fps / NF
+    # frame-level RC on a short clip: within a factor ~[0.5, 1.6]
+    assert 0.45 * target_bps < achieved_bps < 1.7 * target_bps, \
+        f"target {target_bps}, achieved {achieved_bps:.0f}"
+    # stream remains decodable
+    dec = Codec(CodecConfig())
+    results = dec.decode_annexb(stream)
+    assert len(results) == NF
