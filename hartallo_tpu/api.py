@@ -121,7 +121,11 @@ class Codec:
     def encode(self, frame: np.ndarray, width: int = 0,
                height: int = 0) -> EncodeResult:
         if self._encoder is None:
-            from hartallo_tpu.encode.encoder import Encoder
-            self._encoder = Encoder(self.config)
+            if len(self.config.layers) >= 2:
+                from hartallo_tpu.encode.svc import SvcEncoder
+                self._encoder = SvcEncoder(self.config)
+            else:
+                from hartallo_tpu.encode.encoder import Encoder
+                self._encoder = Encoder(self.config)
         return self._encoder.encode_frame(frame, width or self.config.width,
                                           height or self.config.height)

@@ -1,14 +1,16 @@
 """Decoder front-end: NAL dispatch -> host slice parse -> device pixel
-pipeline -> output frames.
+pipeline -> output frames.  Multi-layer (SVC) aware: per-DQId layer
+contexts with their own DPBs, inter-layer intra (I_BL) via 16-phase
+upsampling of the base reconstruction.
 
-Reference parity: ``hl_codec_264.c:79-397`` (_decode: header parse, EPB
-strip, NAL dispatch) + ``hl_codec_264_nal.c:29-257`` (slice pipeline
-orchestration) + ``hl_codec_264_decode_avc.c`` (per-picture decode order:
-MV derivation -> inter pred -> intra -> deblock).
+Reference parity: ``hl_codec_264.c:79-397`` (_decode), ``hl_codec_264_nal.c``
+(slice pipeline), ``hl_codec_264_decode_avc.c`` (per-picture order),
+``hl_codec_264_decode_svc.c`` (Annex-G layer decode; the reference's own
+SVC decode path is partially stubbed — see BASELINE_MEASURED.md).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -21,12 +23,22 @@ from hartallo_tpu.decode.intra_recon import (PAD, availability_masks,
                                              compute_residuals,
                                              intra_reconstruct,
                                              wavefront_schedule)
-from hartallo_tpu.decode.params import PPS, SPS
-from hartallo_tpu.decode.slice_decode import (MB_I16, MB_I4X4, MB_PCM,
-                                              SliceData, SliceDecoder)
+from hartallo_tpu.decode.params import (PPS, SPS, parse_subset_sps)
+from hartallo_tpu.decode.slice_decode import (MB_I16, MB_I4X4, MB_IBL,
+                                              MB_PCM, SliceData,
+                                              SliceDecoder)
 from hartallo_tpu.decode.sliceheader import SliceHeader, parse_slice_header
 
 assert PAD == 32  # intra_recon and interpol share the pad geometry
+
+
+class _Layer:
+    def __init__(self):
+        self.cur: Optional[SliceData] = None
+        self.hdr: Optional[SliceHeader] = None
+        self.nal: Optional[N.NalHeader] = None
+        self.dpb = DPB()
+        self.last_recon: Optional[Tuple[np.ndarray, ...]] = None
 
 
 class Decoder:
@@ -36,10 +48,12 @@ class Decoder:
         self.dqid_min = dqid_min
         self.dqid_max = dqid_max
         self._sched_cache = {}
-        self._cur: Optional[SliceData] = None
-        self._cur_hdr: Optional[SliceHeader] = None
-        self._cur_nal: Optional[N.NalHeader] = None
-        self.dpb = DPB()
+        self.layers: Dict[int, _Layer] = {}
+
+    def _layer(self, dqid: int) -> _Layer:
+        if dqid not in self.layers:
+            self.layers[dqid] = _Layer()
+        return self.layers[dqid]
 
     # ------------------------------------------------------------------
     def decode_nal(self, nal_bytes: bytes) -> DecodeResult:
@@ -49,25 +63,42 @@ class Decoder:
             sps = SPS.parse(r)
             self.sps_map[sps.seq_parameter_set_id] = sps
             return DecodeResult()
+        if hdr.type == N.NAL_SUBSET_SPS:
+            sps = parse_subset_sps(r)
+            self.sps_map[sps.seq_parameter_set_id] = sps
+            return DecodeResult()
         if hdr.type == N.NAL_PPS:
             pps = PPS.parse(r)
             self.pps_map[pps.pic_parameter_set_id] = pps
             return DecodeResult()
-        if hdr.type in (N.NAL_SLICE, N.NAL_SLICE_IDR):
+        if hdr.type == N.NAL_PREFIX:
+            # prefix NAL for the following base-layer slice: the SVC ext
+            # header was parsed; payload (store_ref_base_pic) not needed
+            return DecodeResult()
+        if hdr.type in (N.NAL_SLICE, N.NAL_SLICE_IDR, N.NAL_SLICE_EXT):
             return self._decode_slice(r, hdr)
         return DecodeResult()
 
     # ------------------------------------------------------------------
     def _decode_slice(self, r: BitReader, nh: N.NalHeader) -> DecodeResult:
+        svc_ext = nh.type == N.NAL_SLICE_EXT
+        dqid = nh.svc.dqid if (svc_ext and nh.svc) else 0
+        no_ilp = nh.svc.no_inter_layer_pred_flag if (svc_ext and nh.svc) \
+            else 1
+        quality_id = nh.svc.quality_id if (svc_ext and nh.svc) else 0
         sh = None
         for pps in self.pps_map.values():
-            sps = self.sps_map[pps.seq_parameter_set_id]
+            sps = self.sps_map.get(pps.seq_parameter_set_id)
+            if sps is None:
+                continue
             probe = BitReader(r.data)
             probe.pos = r.pos
             try:
-                cand = parse_slice_header(probe, sps, pps,
-                                          nal_ref_idc=nh.ref_idc,
-                                          is_idr=nh.type == N.NAL_SLICE_IDR)
+                cand = parse_slice_header(
+                    probe, sps, pps, nal_ref_idc=nh.ref_idc,
+                    is_idr=nh.is_idr, svc_ext=svc_ext,
+                    no_inter_layer_pred=bool(no_ilp),
+                    quality_id=quality_id)
             except Exception:
                 continue
             if cand.pic_parameter_set_id == pps.pic_parameter_set_id:
@@ -79,25 +110,32 @@ class Decoder:
         sps = self.sps_map[pps.seq_parameter_set_id]
         gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
 
-        if self._cur is None or sh.first_mb_in_slice == 0:
-            self._cur = SliceData.create(gw, gh)
-            self._cur_hdr = sh
-            self._cur_nal = nh
-        sd = self._cur
+        layer = self._layer(dqid)
+        if layer.cur is None or sh.first_mb_in_slice == 0:
+            layer.cur = SliceData.create(gw, gh)
+            layer.hdr = sh
+            layer.nal = nh
+        sd = layer.cur
         dec = SliceDecoder(sps, pps, sd)
-        dec.decode_slice_data(r, sh)
+        svc_il = svc_ext and not no_ilp
+        dec.decode_slice_data(r, sh, svc_inter_layer=svc_il)
 
         if (sd.mb_kind >= 0).all():
-            frame = self._reconstruct(sps, pps, self._cur_hdr,
-                                      self._cur_nal, sd)
-            self._cur = None
+            frame = self._reconstruct(sps, pps, layer.hdr, layer.nal, sd,
+                                      layer, dqid)
+            layer.cur = None
+            if self.dqid_min >= 0 and dqid < self.dqid_min:
+                return DecodeResult()
+            if self.dqid_max >= 0 and dqid > self.dqid_max:
+                return DecodeResult()
             return DecodeResult(frame=frame, width=sps.width,
-                                height=sps.height)
+                                height=sps.height, dqid=dqid)
         return DecodeResult()
 
     # ------------------------------------------------------------------
     def _reconstruct(self, sps: SPS, pps: PPS, sh: SliceHeader,
-                     nh: N.NalHeader, sd: SliceData) -> np.ndarray:
+                     nh: N.NalHeader, sd: SliceData, layer: _Layer,
+                     dqid: int) -> np.ndarray:
         gw, gh = sd.gw, sd.gh
         W, H = gw * 16, gh * 16
 
@@ -108,12 +146,14 @@ class Decoder:
             jnp.asarray(sd.qp, jnp.int32), is_i16,
             pps.chroma_qp_index_offset)
 
-        has_inter = bool((sd.mb_kind >= 3).any())
+        has_inter = bool(((sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)).any())
+        has_ibl = bool((sd.mb_kind == MB_IBL).any())
+        rec_y = rec_c = None
         if has_inter:
             from hartallo_tpu.decode.inter_recon import inter_predict_frame
             from hartallo_tpu.decode.mv import derive_mvs
             derive_mvs(sd)
-            reflist = self.dpb.ref_list_p(
+            reflist = layer.dpb.ref_list_p(
                 sh.frame_num, sps.max_frame_num,
                 mods=sh.ref_pic_list_mods_l0,
                 num_active=sh.num_ref_idx_l0_active_minus1 + 1)
@@ -124,13 +164,31 @@ class Decoder:
             rv = jnp.stack([f.planes_pad[2] for f in reflist])
             pred_y, pred_c = inter_predict_frame(
                 ry, ru, rv, sd.mv, sd.ref_idx, gw, gh)
-            inter_mask = jnp.asarray(sd.mb_kind >= 3)
-            rec_y = jnp.clip(pred_y + res_y, 0, 255)
-            rec_c = jnp.clip(pred_c + res_c, 0, 255)
-        else:
-            inter_mask = None
+            rec_y = np.asarray(jnp.clip(pred_y + res_y, 0, 255))
+            rec_c = np.asarray(jnp.clip(pred_c + res_c, 0, 255))
 
-        # initial planes: PCM + inter recon pre-placed
+        ibl_y = ibl_c = None
+        if has_ibl:
+            from hartallo_tpu.svc.upsample import upsample_plane
+            base_dqid = sh.ref_layer_dq_id if sh.ref_layer_dq_id >= 0 \
+                else dqid - 16
+            base = self.layers.get(base_dqid)
+            if base is None or base.last_recon is None:
+                raise ValueError("I_BL without decoded base layer")
+            by, bu, bv = base.last_recon
+            up_y = upsample_plane(jnp.asarray(by.astype(np.int32)), H, W)
+            up_u = upsample_plane(jnp.asarray(bu.astype(np.int32)),
+                                  H // 2, W // 2, chroma=True)
+            up_v = upsample_plane(jnp.asarray(bv.astype(np.int32)),
+                                  H // 2, W // 2, chroma=True)
+            up_y_mb = up_y.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
+            up_c_mb = jnp.stack(
+                [up_u.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
+                 up_v.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)], axis=2)
+            ibl_y = np.asarray(jnp.clip(up_y_mb + res_y, 0, 255))
+            ibl_c = np.asarray(jnp.clip(up_c_mb + res_c, 0, 255))
+
+        # initial planes: PCM + inter + I_BL recon pre-placed
         y0 = np.zeros((H, W), np.int32)
         u0 = np.zeros((H // 2, W // 2), np.int32)
         v0 = np.zeros((H // 2, W // 2), np.int32)
@@ -141,22 +199,25 @@ class Decoder:
                 sd.pcm_chroma[my, mx, 0]
             v0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
                 sd.pcm_chroma[my, mx, 1]
-        if has_inter:
-            rec_y_np = np.asarray(rec_y)
-            rec_c_np = np.asarray(rec_c)
-            im = sd.mb_kind >= 3
-            for my, mx in zip(*np.nonzero(im)):
+
+        def place(mask, ry, rc):
+            for my, mx in zip(*np.nonzero(mask)):
                 y0[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
-                    rec_y_np[my, mx]
+                    ry[my, mx]
                 u0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
-                    rec_c_np[my, mx, 0]
+                    rc[my, mx, 0]
                 v0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
-                    rec_c_np[my, mx, 1]
+                    rc[my, mx, 1]
+
+        if has_inter:
+            place((sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL), rec_y, rec_c)
+        if has_ibl:
+            place(sd.mb_kind == MB_IBL, ibl_y, ibl_c)
         padY = np.pad(y0, PAD).astype(np.int32)
         padU = np.pad(u0, PAD).astype(np.int32)
         padV = np.pad(v0, PAD).astype(np.int32)
 
-        mb_is_inter = sd.mb_kind >= 3
+        mb_is_inter = (sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)
         al, at = availability_masks(sd.slice_id,
                                     bool(pps.constrained_intra_pred_flag),
                                     mb_is_inter)
@@ -183,19 +244,19 @@ class Decoder:
         y = np.asarray(pY)[PAD:PAD + H, PAD:PAD + W]
         u = np.asarray(pU)[PAD:PAD + H // 2, PAD:PAD + W // 2]
         v = np.asarray(pV)[PAD:PAD + H // 2, PAD:PAD + W // 2]
+        layer.last_recon = (y, u, v)
 
-        # DPB bookkeeping (8.2.5): padded planes ready for MC
-        self.dpb.max_refs = sps.max_num_ref_frames
+        layer.dpb.max_refs = sps.max_num_ref_frames
         if nh.ref_idc != 0:
             from hartallo_tpu.ops.interpol import pad_plane
             planes_pad = (jnp.asarray(pad_plane(y)),
                           jnp.asarray(pad_plane(u)),
                           jnp.asarray(pad_plane(v)))
-            self.dpb.add(Frame(frame_num=sh.frame_num, poc=0,
-                               planes_pad=planes_pad),
-                         mmcos=sh.mmcos or None,
-                         idr=nh.type == N.NAL_SLICE_IDR,
-                         long_term_reference_flag=sh.long_term_reference_flag)
+            layer.dpb.add(Frame(frame_num=sh.frame_num, poc=0,
+                                planes_pad=planes_pad),
+                          mmcos=sh.mmcos or None,
+                          idr=nh.is_idr,
+                          long_term_reference_flag=sh.long_term_reference_flag)
 
         frame = np.concatenate([y.astype(np.uint8).ravel(),
                                 u.astype(np.uint8).ravel(),
@@ -221,7 +282,8 @@ class Decoder:
         fmb_v = filter_internal & has_l & ((idc != 2) | same_slice_l)
         fmb_h = filter_internal & has_t & ((idc != 2) | same_slice_t)
 
-        mb_is_intra = sd.mb_kind <= 2  # I4x4/I16/PCM
+        # I4x4/I16/PCM/I_BL count as intra for boundary strengths
+        mb_is_intra = (sd.mb_kind <= 2) | (sd.mb_kind == MB_IBL)
         mvg = sd.mv.transpose(0, 2, 1, 3, 4).reshape(4 * gh, 4 * gw, 2)
         refg = np.repeat(np.repeat(
             sd.ref_idx.reshape(gh, gw, 2, 2), 2, axis=2), 2, axis=3) \

@@ -170,6 +170,68 @@ class VUI:
 # ---------------------------------------------------------------------------
 
 @dataclass
+class SpsSvcExt:
+    """seq_parameter_set_svc_extension (spec G.7.3.2.1.4); reference
+    parse at hl_codec_264_sps.c:387+."""
+    inter_layer_deblocking_filter_control_present_flag: int = 0
+    extended_spatial_scalability_idc: int = 0
+    chroma_phase_x_plus1_flag: int = 0
+    chroma_phase_y_plus1: int = 0
+    seq_ref_layer_chroma_phase_x_plus1_flag: int = 0
+    seq_ref_layer_chroma_phase_y_plus1: int = 0
+    seq_scaled_ref_layer_left_offset: int = 0
+    seq_scaled_ref_layer_top_offset: int = 0
+    seq_scaled_ref_layer_right_offset: int = 0
+    seq_scaled_ref_layer_bottom_offset: int = 0
+    seq_tcoeff_level_prediction_flag: int = 0
+    adaptive_tcoeff_level_prediction_flag: int = 0
+    slice_header_restriction_flag: int = 0
+
+    @classmethod
+    def parse(cls, r: BitReader, chroma_array_type: int = 1) -> "SpsSvcExt":
+        e = cls()
+        e.inter_layer_deblocking_filter_control_present_flag = r.u1()
+        e.extended_spatial_scalability_idc = r.u(2)
+        if chroma_array_type in (1, 2):
+            e.chroma_phase_x_plus1_flag = r.u1()
+        if chroma_array_type == 1:
+            e.chroma_phase_y_plus1 = r.u(2)
+        if e.extended_spatial_scalability_idc == 1:
+            if chroma_array_type > 0:
+                e.seq_ref_layer_chroma_phase_x_plus1_flag = r.u1()
+                e.seq_ref_layer_chroma_phase_y_plus1 = r.u(2)
+            e.seq_scaled_ref_layer_left_offset = r.se()
+            e.seq_scaled_ref_layer_top_offset = r.se()
+            e.seq_scaled_ref_layer_right_offset = r.se()
+            e.seq_scaled_ref_layer_bottom_offset = r.se()
+        e.seq_tcoeff_level_prediction_flag = r.u1()
+        if e.seq_tcoeff_level_prediction_flag:
+            e.adaptive_tcoeff_level_prediction_flag = r.u1()
+        e.slice_header_restriction_flag = r.u1()
+        return e
+
+    def write(self, w: BitWriter, chroma_array_type: int = 1) -> None:
+        w.u1(self.inter_layer_deblocking_filter_control_present_flag)
+        w.u(self.extended_spatial_scalability_idc, 2)
+        if chroma_array_type in (1, 2):
+            w.u1(self.chroma_phase_x_plus1_flag)
+        if chroma_array_type == 1:
+            w.u(self.chroma_phase_y_plus1, 2)
+        if self.extended_spatial_scalability_idc == 1:
+            if chroma_array_type > 0:
+                w.u1(self.seq_ref_layer_chroma_phase_x_plus1_flag)
+                w.u(self.seq_ref_layer_chroma_phase_y_plus1, 2)
+            w.se(self.seq_scaled_ref_layer_left_offset)
+            w.se(self.seq_scaled_ref_layer_top_offset)
+            w.se(self.seq_scaled_ref_layer_right_offset)
+            w.se(self.seq_scaled_ref_layer_bottom_offset)
+        w.u1(self.seq_tcoeff_level_prediction_flag)
+        if self.seq_tcoeff_level_prediction_flag:
+            w.u1(self.adaptive_tcoeff_level_prediction_flag)
+        w.u1(self.slice_header_restriction_flag)
+
+
+@dataclass
 class SPS:
     profile_idc: int = PROFILE_BASELINE
     constraint_set_flags: int = 0          # 8 bits: set0..set5 + 2 reserved
@@ -204,6 +266,7 @@ class SPS:
     frame_crop_bottom_offset: int = 0
     vui_parameters_present_flag: int = 0
     vui: Optional[VUI] = None
+    svc: Optional["SpsSvcExt"] = None       # present on subset SPS
 
     # ---- derived (spec 7-9..7-17) ----
     @property
@@ -291,7 +354,7 @@ class SPS:
             s.vui = VUI.parse(r)
         return s
 
-    def write(self, w: BitWriter) -> None:
+    def write(self, w: BitWriter, trailing: bool = True) -> None:
         w.u(self.profile_idc, 8)
         w.u(self.constraint_set_flags, 8)
         w.u(self.level_idc, 8)
@@ -330,7 +393,8 @@ class SPS:
             w.ue(self.frame_crop_top_offset)
             w.ue(self.frame_crop_bottom_offset)
         w.u1(0)  # vui_parameters_present_flag (not emitted)
-        w.write_rbsp_trailing_bits()
+        if trailing:
+            w.write_rbsp_trailing_bits()
 
 
 # ---------------------------------------------------------------------------
@@ -451,3 +515,22 @@ class PPS:
         w.u1(self.constrained_intra_pred_flag)
         w.u1(self.redundant_pic_cnt_present_flag)
         w.write_rbsp_trailing_bits()
+
+
+def parse_subset_sps(r: BitReader) -> SPS:
+    """subset_seq_parameter_set_rbsp (spec 7.3.2.1.3): SPS data + SVC
+    extension for Scalable profiles."""
+    sps = SPS.parse(r)
+    if sps.profile_idc in (PROFILE_SCALABLE_BASELINE, PROFILE_SCALABLE_HIGH):
+        sps.svc = SpsSvcExt.parse(r, 1)
+        r.u1()  # svc_vui_parameters_present_flag
+    return sps
+
+
+def write_subset_sps(w: BitWriter, sps: SPS) -> None:
+    sps.write(w, trailing=False)
+    if sps.svc is not None:
+        sps.svc.write(w, 1)
+        w.u1(0)  # svc_vui_parameters_present_flag
+    w.u1(0)      # additional_extension2_flag
+    w.write_rbsp_trailing_bits()

@@ -33,6 +33,7 @@ MB_P16X16 = 4
 MB_P16X8 = 5
 MB_P8X16 = 6
 MB_P8X8 = 7          # includes P_8x8ref0
+MB_IBL = 8           # SVC I_BL (base_mode_flag, inter-layer intra)
 
 
 @dataclass
@@ -288,8 +289,11 @@ class SliceDecoder:
 
     # -- slice data -------------------------------------------------------
     def decode_slice_data(self, r: BitReader, hdr: SliceHeader,
-                          ref_planes=None) -> None:
-        """Parse all MBs of one slice (I or P, CAVLC)."""
+                          ref_planes=None, svc_inter_layer: bool = False
+                          ) -> None:
+        """Parse all MBs of one slice (I or P, CAVLC).  When
+        ``svc_inter_layer`` the SVC MB syntax (base_mode_flag, G.7.3.6)
+        is in effect and the Python path is used."""
         sd = self.sd
         sid = sd._slice_count
         sd._slice_count += 1
@@ -300,7 +304,7 @@ class SliceDecoder:
         self._num_ref_idx_active = hdr.num_ref_idx_l0_active_minus1 + 1
 
         from hartallo_tpu import native
-        if native.available():
+        if native.available() and not svc_inter_layer:
             n, _ = native.parse_slice_data(
                 r.data, r.pos, sd, first_mb=addr, slice_qp=qp_state[0],
                 is_p=is_p, num_ref=self._num_ref_idx_active, sid=sid,
@@ -344,10 +348,42 @@ class SliceDecoder:
                     self._parse_i_mb(r, mx, my, mb_type - 5, qp_state, sid)
                 mark_deblock(mx, my)
             else:
-                mb_type = r.ue()
-                self._parse_i_mb(r, mx, my, mb_type, qp_state, sid)
+                base_mode = 0
+                if svc_inter_layer:
+                    if hdr.adaptive_base_mode_flag:
+                        base_mode = r.u1()
+                    else:
+                        base_mode = hdr.default_base_mode_flag
+                if base_mode:
+                    self._parse_ibl_mb(r, mx, my, qp_state, sid)
+                else:
+                    mb_type = r.ue()
+                    self._parse_i_mb(r, mx, my, mb_type, qp_state, sid)
                 mark_deblock(mx, my)
             addr += 1
+
+    # -- SVC I_BL macroblock (spec G.7.3.6: base_mode_flag=1, intra) ------
+    def _parse_ibl_mb(self, r: BitReader, mx: int, my: int,
+                      qp_state: list, sid: int) -> None:
+        sd = self.sd
+        sd.slice_id[my, mx] = sid
+        sd.mb_kind[my, mx] = MB_IBL
+        code = r.ue()
+        if code > 47:
+            raise ValueError("invalid cbp codeNum")
+        cbp = int(CBP_ME_INTER[code])
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        sd.cbp_luma[my, mx] = cbp_luma
+        sd.cbp_chroma[my, mx] = cbp_chroma
+        if cbp_luma or cbp_chroma:
+            delta = r.se()
+            qp_state[0] = (qp_state[0] + delta + 52) % 52
+        sd.qp[my, mx] = qp_state[0]
+        if cbp_luma:
+            self._read_luma_residual(r, mx, my, False, cbp_luma, sid)
+        else:
+            sd.nnz_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        self._read_chroma_residual(r, mx, my, cbp_chroma, sid)
 
     # -- P macroblocks ----------------------------------------------------
     def _parse_p_mb(self, r: BitReader, mx: int, my: int, mb_type: int,

@@ -201,45 +201,54 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, *,
         rate = pps.slice_group_change_rate_minus1 + 1
         bits = math.ceil(math.log2(pic_size_in_map_units // rate + 2))
         h.slice_group_change_cycle = r.u(bits)
-    if svc_ext and not no_inter_layer_pred:
-        h.ref_layer_dq_id = r.ue()
-        if h.ref_layer_dq_id >= 0 and quality_id == 0:
-            h.disable_inter_layer_deblocking_filter_idc = r.ue()
-            if h.disable_inter_layer_deblocking_filter_idc != 1:
-                h.inter_layer_slice_alpha_c0_offset_div2 = r.se()
-                h.inter_layer_slice_beta_offset_div2 = r.se()
-            h.constrained_intra_resampling_flag = r.u1()
-            # ref layer chroma phase flags depend on subset-SPS; the
-            # scaled-ref-layer offsets follow for chroma_format_idc != 3
-            r.u1()  # ref_layer_chroma_phase_x_plus1_flag
-            r.u(2)  # ref_layer_chroma_phase_y_plus1
-            h.scaled_ref_layer_left_offset = r.se()
-            h.scaled_ref_layer_top_offset = r.se()
-            h.scaled_ref_layer_right_offset = r.se()
-            h.scaled_ref_layer_bottom_offset = r.se()
     if svc_ext:
-        h.slice_skip_flag = r.u1()
-        if h.slice_skip_flag:
-            h.num_mbs_in_slice_minus1 = r.ue()
-        else:
-            h.adaptive_base_mode_flag = r.u1()
-            if not h.adaptive_base_mode_flag:
-                h.default_base_mode_flag = r.u1()
-            if not h.default_base_mode_flag:
-                h.adaptive_motion_prediction_flag = r.u1()
-                if not h.adaptive_motion_prediction_flag:
-                    h.default_motion_prediction_flag = r.u1()
-            h.adaptive_residual_prediction_flag = r.u1()
-            if not h.adaptive_residual_prediction_flag:
-                h.default_residual_prediction_flag = r.u1()
-        # tcoeff_level_prediction gated by subset-SPS adaptive flag; the
-        # reference encoder never sets it — omitted on parse here (the SVC
-        # subset-SPS path wires it when present).
+        svc_sps = sps.svc
+        if not no_inter_layer_pred and quality_id == 0:
+            h.ref_layer_dq_id = r.ue()
+            if svc_sps is not None and \
+                    svc_sps.inter_layer_deblocking_filter_control_present_flag:
+                h.disable_inter_layer_deblocking_filter_idc = r.ue()
+                if h.disable_inter_layer_deblocking_filter_idc != 1:
+                    h.inter_layer_slice_alpha_c0_offset_div2 = r.se()
+                    h.inter_layer_slice_beta_offset_div2 = r.se()
+            h.constrained_intra_resampling_flag = r.u1()
+            if svc_sps is not None and \
+                    svc_sps.extended_spatial_scalability_idc == 2:
+                r.u(3)  # ref_layer chroma phase flags (ChromaArrayType 1)
+                h.scaled_ref_layer_left_offset = r.se()
+                h.scaled_ref_layer_top_offset = r.se()
+                h.scaled_ref_layer_right_offset = r.se()
+                h.scaled_ref_layer_bottom_offset = r.se()
+        if not no_inter_layer_pred:
+            h.slice_skip_flag = r.u1()
+            if h.slice_skip_flag:
+                h.num_mbs_in_slice_minus1 = r.ue()
+            else:
+                h.adaptive_base_mode_flag = r.u1()
+                if not h.adaptive_base_mode_flag:
+                    h.default_base_mode_flag = r.u1()
+                if not h.default_base_mode_flag:
+                    h.adaptive_motion_prediction_flag = r.u1()
+                    if not h.adaptive_motion_prediction_flag:
+                        h.default_motion_prediction_flag = r.u1()
+                h.adaptive_residual_prediction_flag = r.u1()
+                if not h.adaptive_residual_prediction_flag:
+                    h.default_residual_prediction_flag = r.u1()
+            if svc_sps is not None and \
+                    svc_sps.adaptive_tcoeff_level_prediction_flag:
+                h.tcoeff_level_prediction_flag = r.u1()
+        if svc_sps is not None and \
+                not svc_sps.slice_header_restriction_flag and \
+                not h.slice_skip_flag:
+            h.scan_idx_start = r.u(4)
+            h.scan_idx_end = r.u(4)
     return h
 
 
 def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS, *,
-                       nal_ref_idc: int, is_idr: bool) -> None:
+                       nal_ref_idc: int, is_idr: bool,
+                       svc_ext: bool = False,
+                       no_inter_layer_pred: bool = True) -> None:
     w.ue(h.first_mb_in_slice)
     w.ue(h.slice_type)
     w.ue(h.pic_parameter_set_id)
@@ -271,3 +280,29 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS, *,
         if h.disable_deblocking_filter_idc != 1:
             w.se(h.slice_alpha_c0_offset_div2)
             w.se(h.slice_beta_offset_div2)
+    if svc_ext:
+        svc_sps = sps.svc
+        if not no_inter_layer_pred:
+            w.ue(h.ref_layer_dq_id)
+            if svc_sps is not None and \
+                    svc_sps.inter_layer_deblocking_filter_control_present_flag:
+                w.ue(h.disable_inter_layer_deblocking_filter_idc)
+                if h.disable_inter_layer_deblocking_filter_idc != 1:
+                    w.se(h.inter_layer_slice_alpha_c0_offset_div2)
+                    w.se(h.inter_layer_slice_beta_offset_div2)
+            w.u1(h.constrained_intra_resampling_flag)
+            w.u1(0)  # slice_skip_flag
+            w.u1(h.adaptive_base_mode_flag)
+            if not h.adaptive_base_mode_flag:
+                w.u1(h.default_base_mode_flag)
+            if not h.default_base_mode_flag:
+                w.u1(h.adaptive_motion_prediction_flag)
+                if not h.adaptive_motion_prediction_flag:
+                    w.u1(h.default_motion_prediction_flag)
+            w.u1(h.adaptive_residual_prediction_flag)
+            if not h.adaptive_residual_prediction_flag:
+                w.u1(h.default_residual_prediction_flag)
+        if svc_sps is not None and \
+                not svc_sps.slice_header_restriction_flag:
+            w.u(h.scan_idx_start, 4)
+            w.u(h.scan_idx_end, 4)

@@ -184,7 +184,7 @@ class Encoder:
         hdr = SliceHeader(
             first_mb_in_slice=0,
             slice_type=7 if not is_p else 5,   # all-slices-same convention
-            pic_parameter_set_id=0,
+            pic_parameter_set_id=pps.pic_parameter_set_id,
             frame_num=0 if is_idr else self.frame_num,
             idr_pic_id=self.idr_pic_id if is_idr else 0,
             slice_qp_delta=int(qp[0, 0]) - pps.pic_init_qp,
@@ -372,7 +372,8 @@ class Encoder:
         sps, pps = self.sps, self.pps
         gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
         hdr = SliceHeader(
-            first_mb_in_slice=0, slice_type=5, pic_parameter_set_id=0,
+            first_mb_in_slice=0, slice_type=5,
+            pic_parameter_set_id=pps.pic_parameter_set_id,
             frame_num=self.frame_num,
             slice_qp_delta=int(qp[0, 0]) - pps.pic_init_qp,
             disable_deblocking_filter_idc=0 if self.cfg.deblock else 1)

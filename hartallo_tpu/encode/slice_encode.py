@@ -185,6 +185,22 @@ class FramePacker:
             self.nnz_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
         self._write_chroma(w, mx, my, cbp_chroma, sid)
 
+    # -- SVC I_BL macroblock (base_mode_flag=1 via slice default) ---------
+    def write_ibl_mb(self, w: BitWriter, mx: int, my: int,
+                     qp_state: list, sid: int) -> None:
+        self.slice_of_mb[my, mx] = sid
+        cbp_luma, cbp_chroma = self._derive_cbp(mx, my, False)
+        w.ue(int(CBP_ME_INTER_INV[cbp_luma | (cbp_chroma << 4)]))
+        if cbp_luma or cbp_chroma:
+            delta = int(self.qp[my, mx]) - qp_state[0]
+            w.se(delta)
+            qp_state[0] = int(self.qp[my, mx])
+        if cbp_luma:
+            self._write_luma(w, mx, my, False, cbp_luma, sid)
+        else:
+            self.nnz_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        self._write_chroma(w, mx, my, cbp_chroma, sid)
+
     # -- P macroblocks ----------------------------------------------------
     def mark_skip(self, mx: int, my: int, sid: int) -> None:
         self.slice_of_mb[my, mx] = sid

@@ -1,0 +1,294 @@
+"""SVC spatial-layer encoder (2+ dyadic layers, Annex G subset).
+
+Reference parity: ``hl_codec_264_encode.c:282-367`` (SVC NAL prefix/
+extension writing) and the spatial-scalability encode path
+(``hl_codec_264_encode.c:288-289`` — the reference supports spatial
+scalability only; quality/temporal hardwired to 0).  This implementation
+adds simple temporal scalability on top (non-reference P frames marked
+with temporal_id = 1, droppable), which the reference lacks.
+
+Layer scheme (round-1 scope):
+- base layer: plain AVC (SPS/PPS id 0), each slice preceded by a prefix
+  NAL (type 14) carrying the SVC extension header.
+- enhancement layer(s): subset SPS (profile Scalable Baseline, id L) +
+  PPS id L; IDR pictures are all-I_BL (inter-layer intra from the
+  16-phase-upsampled base recon, spec G.8.6.2), P pictures are coded
+  within the layer (no_inter_layer_pred = 1).
+"""
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from hartallo_tpu.api import CodecConfig, EncodeResult
+from hartallo_tpu.bitio import BitWriter, insert_emulation_prevention
+from hartallo_tpu.decode import nal as N
+from hartallo_tpu.decode.intra_recon import PAD
+from hartallo_tpu.decode.params import (PPS, SPS, SpsSvcExt,
+                                        write_subset_sps)
+from hartallo_tpu.decode.sliceheader import SliceHeader, write_slice_header
+from hartallo_tpu.encode.encoder import Encoder, _annexb, _guess_level
+from hartallo_tpu.encode.slice_encode import FramePacker
+from hartallo_tpu.svc.upsample import upsample_plane
+
+
+def _prefix_nal(svc: N.NalSvcExt, ref_idc: int) -> bytes:
+    w = BitWriter()
+    N.write_nal_header(w, ref_idc, N.NAL_PREFIX, svc)
+    if ref_idc != 0:
+        w.u1(0)   # store_ref_base_pic_flag
+        w.u1(0)   # additional_prefix_nal_unit_extension_flag
+    w.write_rbsp_trailing_bits()
+    return _annexb(insert_emulation_prevention(w.getvalue()))
+
+
+class SvcEncoder:
+    """Drives one Encoder per spatial layer; frames are fed per layer in
+    increasing order (reference hl_codec_add_layer call pattern)."""
+
+    def __init__(self, config: CodecConfig):
+        self.cfg = config
+        self.layers: List[Encoder] = []
+        self._call = 0
+        for li, (w, h) in enumerate(config.layers):
+            sub = CodecConfig(**{**config.__dict__, "layers": []})
+            sub.width, sub.height = w, h
+            enc = Encoder(sub)
+            enc._svc_layer = li
+            enc._svc_nlayers = len(config.layers)
+            self.layers.append(enc)
+
+    # ------------------------------------------------------------------
+    def encode_frame(self, frame, width, height) -> EncodeResult:
+        li = self._call % len(self.layers)
+        self._call += 1
+        enc = self.layers[li]
+        w, h = self.cfg.layers[li]
+        if li == 0:
+            return self._encode_base(enc, frame, w, h)
+        return self._encode_enh(enc, li, frame, w, h)
+
+    # ------------------------------------------------------------------
+    def _encode_base(self, enc: Encoder, frame, w, h) -> EncodeResult:
+        r = enc.encode_frame(frame, w, h)
+        svc = N.NalSvcExt(idr_flag=1 if r.keyframe else 0,
+                          no_inter_layer_pred_flag=1,
+                          dependency_id=0, quality_id=0, temporal_id=0)
+        prefix = _prefix_nal(svc, 3 if r.keyframe else 2)
+        return EncodeResult(data=prefix + r.data, headers=r.headers,
+                            keyframe=r.keyframe)
+
+    # ------------------------------------------------------------------
+    def _setup_enh(self, enc: Encoder, li: int, width, height) -> None:
+        gw, gh = (width + 15) // 16, (height + 15) // 16
+        sps = SPS(profile_idc=83, constraint_set_flags=0,
+                  level_idc=_guess_level(width, height),
+                  seq_parameter_set_id=li,
+                  log2_max_frame_num_minus4=4, pic_order_cnt_type=2,
+                  max_num_ref_frames=1,
+                  pic_width_in_mbs_minus1=gw - 1,
+                  pic_height_in_map_units_minus1=gh - 1)
+        sps.svc = SpsSvcExt(slice_header_restriction_flag=1)
+        pps = PPS(pic_parameter_set_id=li, seq_parameter_set_id=li,
+                  deblocking_filter_control_present_flag=1,
+                  pic_init_qp_minus26=max(-26, min(25, enc.cfg.qp - 26)))
+        enc.sps, enc.pps = sps, pps
+        w = BitWriter()
+        N.write_nal_header(w, 3, N.NAL_SUBSET_SPS)
+        write_subset_sps(w, sps)
+        sps_nal = insert_emulation_prevention(w.getvalue())
+        w = BitWriter()
+        N.write_nal_header(w, 3, N.NAL_PPS)
+        pps.write(w)
+        pps_nal = insert_emulation_prevention(w.getvalue())
+        enc._headers = _annexb(sps_nal) + _annexb(pps_nal)
+
+    # ------------------------------------------------------------------
+    def _encode_enh(self, enc: Encoder, li: int, frame, width,
+                    height) -> EncodeResult:
+        from hartallo_tpu.core.tables import QP_SCALE_CHROMA
+        from hartallo_tpu.encode.intra_encode import _blocks_of_mb, \
+            _BLK_X, _BLK_Y
+        from hartallo_tpu.ops.transform import (
+            chroma_dc_descale, dequant_4x4, forward_dct_4x4,
+            forward_hadamard_quant_dc_chroma, forward_quant_4x4,
+            inverse_transform_4x4)
+        from hartallo_tpu.decode.intra_recon import wavefront_schedule
+
+        if enc.sps is None:
+            self._setup_enh(enc, li, width, height)
+        sps, pps = enc.sps, enc.pps
+        gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+        W, H = gw * 16, gh * 16
+
+        is_idr = enc.gop_left <= 0 or enc._ref_planes is None
+        if not is_idr:
+            # within-layer P frame: reuse the AVC P path, rewrap as NAL 20
+            r = self._encode_enh_p(enc, li, frame, width, height)
+            return r
+        enc.gop_left = max(enc.cfg.gop_size, 1)
+        enc.gop_left -= 1
+        enc.frame_num = 0
+
+        base = self.layers[li - 1]
+        if base._ref_planes is None:
+            raise ValueError("enhancement layer encoded before base")
+        bY, bU, bV = base._ref_planes
+        bH = bY.shape[0] - 2 * PAD
+        bW = bY.shape[1] - 2 * PAD
+        base_y = jnp.asarray(bY)[PAD:PAD + bH, PAD:PAD + bW]
+        base_u = jnp.asarray(bU)[PAD:PAD + bH // 2, PAD:PAD + bW // 2]
+        base_v = jnp.asarray(bV)[PAD:PAD + bH // 2, PAD:PAD + bW // 2]
+        up_y = upsample_plane(base_y, H, W)
+        up_u = upsample_plane(base_u, H // 2, W // 2, chroma=True)
+        up_v = upsample_plane(base_v, H // 2, W // 2, chroma=True)
+
+        buf = np.frombuffer(bytes(frame), np.uint8) if not \
+            isinstance(frame, np.ndarray) else np.asarray(frame).ravel()
+        ysz = width * height
+        y = buf[:ysz].reshape(height, width).astype(np.int32)
+        u = buf[ysz:ysz + ysz // 4].reshape(height // 2,
+                                            width // 2).astype(np.int32)
+        v = buf[ysz + ysz // 2 - ysz // 4:].reshape(
+            height // 2, width // 2).astype(np.int32)
+
+        qp_val = enc.cfg.qp
+        qp = np.full((gh, gw), qp_val, np.int32)
+        qpc = QP_SCALE_CHROMA[np.clip(qp + pps.chroma_qp_index_offset,
+                                      0, 51)]
+
+        # residual vs the upsampled base (I_BL for every MB)
+        src_mb = jnp.asarray(y).reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
+        up_mb = up_y.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
+        res = src_mb - up_mb
+        blocks = _blocks_of_mb(res)
+        qpj = jnp.asarray(qp)
+        wq = forward_quant_4x4(forward_dct_4x4(blocks), qpj[..., None], True)
+        d = dequant_4x4(wq, jnp.broadcast_to(qpj[..., None], (gh, gw, 16)))
+        rr = inverse_transform_4x4(d)
+        rec = jnp.zeros((gh, gw, 16, 16), jnp.int32)
+        for b in range(16):
+            rec = rec.at[:, :, _BLK_Y[b]:_BLK_Y[b] + 4,
+                         _BLK_X[b]:_BLK_X[b] + 4].set(rr[:, :, b])
+        rec_y = jnp.clip(up_mb + rec, 0, 255)
+
+        src_c = jnp.stack(
+            [jnp.asarray(u).reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
+             jnp.asarray(v).reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)],
+            axis=2)
+        up_c = jnp.stack(
+            [up_u.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
+             up_v.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)], axis=2)
+        resc = src_c - up_c
+        cblocks = jnp.stack(
+            [resc[..., (b >> 1) * 4:(b >> 1) * 4 + 4,
+                  (b & 1) * 4:(b & 1) * 4 + 4] for b in range(4)], axis=3)
+        qpcj = jnp.asarray(qpc)
+        wc = forward_dct_4x4(cblocks)
+        dc2 = jnp.stack(
+            [jnp.stack([wc[..., 0, 0, 0], wc[..., 1, 0, 0]], -1),
+             jnp.stack([wc[..., 2, 0, 0], wc[..., 3, 0, 0]], -1)], -2)
+        dcq = forward_hadamard_quant_dc_chroma(dc2, qpcj[..., None], True)
+        acq = forward_quant_4x4(wc, qpcj[..., None, None], True,
+                                skip_dc=True)
+        dcd = chroma_dc_descale(dcq, qpcj[..., None])
+        dd = dequant_4x4(acq, jnp.broadcast_to(qpcj[..., None, None],
+                                               (gh, gw, 2, 4)))
+        blk_r = jnp.arange(4) // 2
+        blk_c = jnp.arange(4) % 2
+        dd = dd.at[..., 0, 0].set(dcd[..., blk_r, blk_c])
+        rrc = inverse_transform_4x4(dd)
+        recc = jnp.zeros((gh, gw, 2, 8, 8), jnp.int32)
+        for b in range(4):
+            recc = recc.at[..., (b >> 1) * 4:(b >> 1) * 4 + 4,
+                           (b & 1) * 4:(b & 1) * 4 + 4] \
+                .set(rrc[..., b, :, :])
+        rec_c = jnp.clip(up_c + recc, 0, 255)
+
+        arrays = {
+            "use_i16": np.zeros((gh, gw), np.int32),
+            "luma_ac": np.asarray(wq),
+            "luma_dc": np.zeros((gh, gw, 4, 4), np.int32),
+            "chroma_dc": np.asarray(dcq),
+            "chroma_ac": np.asarray(acq),
+            "i16_mode": np.zeros((gh, gw), np.int32),
+            "i4_modes": np.zeros((gh, gw, 16), np.int32),
+            "chroma_mode": np.zeros((gh, gw), np.int32),
+        }
+        from hartallo_tpu.decode.slice_decode import MB_IBL
+        mb_kind = np.full((gh, gw), MB_IBL, np.int8)
+
+        payload = self._pack_ibl_frame(enc, li, arrays, qp, mb_kind)
+
+        # recon for the layer DPB (deblock: I_BL counts as intra)
+        from hartallo_tpu.encode.encoder import _planes_from_mbs
+        recY = np.pad(_planes_from_mbs(np.asarray(rec_y)), PAD)
+        recU = np.pad(_planes_from_mbs(np.asarray(rec_c[:, :, 0])), PAD)
+        recV = np.pad(_planes_from_mbs(np.asarray(rec_c[:, :, 1])), PAD)
+        recY, recU, recV = (jnp.asarray(recY.astype(np.int32)),
+                            jnp.asarray(recU.astype(np.int32)),
+                            jnp.asarray(recV.astype(np.int32)))
+        key = (gw, gh)
+        if key not in enc._sched_cache:
+            enc._sched_cache[key] = jnp.asarray(wavefront_schedule(gw, gh))
+        if enc.cfg.deblock:
+            recY, recU, recV = enc._deblock_recon(
+                arrays, qp, np.zeros((gh, gw), np.int8),  # treated intra
+                (recY, recU, recV), enc._sched_cache[key], gw, gh)
+        enc._ref_planes = (recY, recU, recV)
+        enc.frame_num = (enc.frame_num + 1) % sps.max_frame_num
+        enc.frame_idx += 1
+
+        return EncodeResult(data=_annexb(payload), headers=enc._headers,
+                            keyframe=True)
+
+    # ------------------------------------------------------------------
+    def _pack_ibl_frame(self, enc: Encoder, li: int, arrays, qp,
+                        mb_kind) -> bytes:
+        sps, pps = enc.sps, enc.pps
+        gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+        hdr = SliceHeader(
+            first_mb_in_slice=0, slice_type=7,
+            pic_parameter_set_id=pps.pic_parameter_set_id,
+            frame_num=0, idr_pic_id=enc.idr_pic_id,
+            slice_qp_delta=int(qp[0, 0]) - pps.pic_init_qp,
+            disable_deblocking_filter_idc=0 if enc.cfg.deblock else 1,
+            ref_layer_dq_id=(li - 1) << 4,
+            adaptive_base_mode_flag=0, default_base_mode_flag=1,
+            adaptive_residual_prediction_flag=0,
+            default_residual_prediction_flag=0)
+        enc.idr_pic_id = (enc.idr_pic_id + 1) % 16
+        svc = N.NalSvcExt(idr_flag=1, no_inter_layer_pred_flag=0,
+                          dependency_id=li, quality_id=0, temporal_id=0)
+        w = BitWriter()
+        N.write_nal_header(w, 3, N.NAL_SLICE_EXT, svc)
+        write_slice_header(w, hdr, sps, pps, nal_ref_idc=3, is_idr=True,
+                           svc_ext=True, no_inter_layer_pred=False)
+        packer = FramePacker(gw, gh, arrays, qp, mb_kind)
+        qp_state = [hdr.slice_qp(pps)]
+        for my in range(gh):
+            for mx in range(gw):
+                packer.write_ibl_mb(w, mx, my, qp_state, 0)
+        w.write_rbsp_trailing_bits()
+        return insert_emulation_prevention(w.getvalue())
+
+    # ------------------------------------------------------------------
+    def _encode_enh_p(self, enc: Encoder, li: int, frame, width,
+                      height) -> EncodeResult:
+        """P frame within the enhancement layer, wrapped as NAL 20 with
+        no_inter_layer_pred = 1."""
+        r = enc.encode_frame(frame, width, height)
+        # rewrap: replace the NAL header (type 1, 1 byte) with an SVC
+        # extension header (type 20, 4 bytes)
+        data = r.data
+        assert data[:4] == b"\x00\x00\x00\x01"
+        nal = data[4:]
+        svc = N.NalSvcExt(idr_flag=0, no_inter_layer_pred_flag=1,
+                          dependency_id=li, quality_id=0, temporal_id=0)
+        w = BitWriter()
+        N.write_nal_header(w, 2, N.NAL_SLICE_EXT, svc)
+        hdr4 = w.getvalue()
+        return EncodeResult(data=_annexb(hdr4 + nal[1:]), headers=b"",
+                            keyframe=False)

@@ -19,6 +19,11 @@ static int quiet_dbg(int level, const void* arg, const char* fmt, ...) { (void)l
 
 static int do_decode(const char* inpath, const char* outpath, int threads)
 {
+    int dqid_min = -1, dqid_max = -1;
+    const char* e1 = getenv("REF_DQID_MIN");
+    const char* e2 = getenv("REF_DQID_MAX");
+    if (e1) dqid_min = atoi(e1);
+    if (e2) dqid_max = atoi(e2);
     HL_ERROR_T err;
     FILE* fi = fopen(inpath, "rb");
     FILE* fo = fopen(outpath, "wb");
@@ -40,7 +45,7 @@ static int do_decode(const char* inpath, const char* outpath, int threads)
     if (hl_codec_create(cp, &codec)) return 2;
     if (hl_codec_result_create(&result)) return 2;
     codec->threads_count = threads;
-    codec->dqid_min = -1; codec->dqid_max = -1;
+    codec->dqid_min = dqid_min; codec->dqid_max = dqid_max;
 
     uint64_t t0 = hl_time_now();
     hl_size_t nal_start, nal_end;
@@ -112,10 +117,74 @@ static int do_encode(const char* inpath, int W, int H, const char* outpath,
     return 0;
 }
 
+static int do_encode_svc(const char* in0, int W0, int H0,
+                         const char* in1, int W1, int H1,
+                         const char* outpath, int qp, int gop, int nframes)
+{
+    static const uint8_t SCP[3] = { 0x00, 0x00, 0x01 };
+    FILE* f0 = fopen(in0, "rb");
+    FILE* f1 = fopen(in1, "rb");
+    FILE* fo = fopen(outpath, "wb");
+    if (!f0 || !f1 || !fo) { fprintf(stderr, "open failed\n"); return 1; }
+    size_t sz0 = (size_t)W0 * H0 * 3 / 2, sz1 = (size_t)W1 * H1 * 3 / 2;
+    uint8_t* b0 = (uint8_t*)malloc(sz0);
+    uint8_t* b1 = (uint8_t*)malloc(sz1);
+
+    const struct hl_codec_plugin_def_s* cp; struct hl_codec_s* codec;
+    struct hl_codec_result_s* result; hl_frame_video_t* frame;
+    if (hl_codec_plugin_find(HL_CODEC_TYPE_H264_SVC, &cp)) return 2;
+    if (hl_codec_create(cp, &codec)) return 2;
+    if (hl_codec_result_create(&result)) return 2;
+    if (hl_frame_video_create(&frame)) return 2;
+
+    codec->gop_size = gop;
+    codec->me_range = 8;
+    codec->qp = qp;
+    codec->fps.num = 1; codec->fps.den = 30;
+    codec->rc_bitrate = -1;
+    codec->deblock_flag = 0;
+    codec->threads_count = 1;
+    codec->distortion_mesure_type = HL_VIDEO_DISTORTION_MESURE_TYPE_SAD;
+    codec->me_type = (HL_VIDEO_ME_TYPE_INTEGER | HL_VIDEO_ME_TYPE_HALF | HL_VIDEO_ME_TYPE_QUATER);
+    codec->me_part_types = HL_VIDEO_ME_PART_TYPE_ALL;
+    codec->me_subpart_types = HL_VIDEO_ME_SUBPART_TYPE_ALL;
+    codec->me_early_term_flag = 0;
+
+    if (hl_codec_add_layer(codec, W0, H0, 0, 0)) return 2;
+    if (hl_codec_add_layer(codec, W1, H1, 0, 0)) return 2;
+
+    int n = 0;
+    while (n < nframes && fread(b0, 1, sz0, f0) == sz0 &&
+           fread(b1, 1, sz1, f1) == sz1) {
+        if (hl_frame_video_fill(frame, HL_VIDEO_CHROMA_YUV420, W0, H0, b0, sz0)) return 3;
+        frame->encoding = HL_VIDEO_ENCODING_TYPE_AUTO;
+        if (hl_codec_encode(codec, (hl_frame_t*)frame, result)) return 3;
+        if (result->type & HL_CODEC_RESULT_TYPE_HDR)
+            fwrite(codec->hdr_bytes, 1, codec->hdr_bytes_count, fo);
+        if (result->type & HL_CODEC_RESULT_TYPE_DATA) {
+            fwrite(SCP, 1, 3, fo);
+            fwrite(result->data_ptr, 1, result->data_size, fo);
+        }
+        if (hl_frame_video_fill(frame, HL_VIDEO_CHROMA_YUV420, W1, H1, b1, sz1)) return 3;
+        frame->encoding = HL_VIDEO_ENCODING_TYPE_AUTO;
+        if (hl_codec_encode(codec, (hl_frame_t*)frame, result)) return 3;
+        if (result->type & HL_CODEC_RESULT_TYPE_HDR)
+            fwrite(codec->hdr_bytes, 1, codec->hdr_bytes_count, fo);
+        if (result->type & HL_CODEC_RESULT_TYPE_DATA) {
+            fwrite(SCP, 1, 3, fo);
+            fwrite(result->data_ptr, 1, result->data_size, fo);
+            n++;
+        }
+    }
+    fclose(f0); fclose(f1); fclose(fo);
+    printf("{\"op\":\"encode_svc\",\"frames\":%d}\n", n);
+    return 0;
+}
+
 int main(int argc, char** argv)
 {
     if (argc < 2) { fprintf(stderr, "usage: decode|encode ...\n"); return 1; }
-    hl_debug_set_cb(quiet_dbg);
+    if (!getenv("REF_VERBOSE")) hl_debug_set_cb(quiet_dbg);
     if (hl_engine_init()) { fprintf(stderr, "engine init failed\n"); return 1; }
     if (getenv("REF_NO_SIMD")) {
         /* portable-C kernels only: the reference's own tests note that its
@@ -125,6 +194,12 @@ int main(int argc, char** argv)
     if (!strcmp(argv[1], "decode")) {
         if (argc < 4) return 1;
         return do_decode(argv[2], argv[3], argc > 4 ? atoi(argv[4]) : 1);
+    } else if (!strcmp(argv[1], "encsvc")) {
+        if (argc < 12) return 1;
+        return do_encode_svc(argv[2], atoi(argv[3]), atoi(argv[4]),
+                             argv[5], atoi(argv[6]), atoi(argv[7]),
+                             argv[8], atoi(argv[9]), atoi(argv[10]),
+                             atoi(argv[11]));
     } else if (!strcmp(argv[1], "encode")) {
         if (argc < 6) return 1;
         int W = atoi(argv[3]), H = atoi(argv[4]);
