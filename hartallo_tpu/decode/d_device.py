@@ -1,0 +1,70 @@
+"""Fused device pre-pass for frame reconstruction: residual decode +
+inter/I_BL prediction + initial plane composition in one jitted program
+(the wavefront intra pass and the deblocker consume its outputs without
+touching the host)."""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hartallo_tpu.decode.inter_recon import (inter_predict_frame,
+                                             mbs_to_plane)
+from hartallo_tpu.decode.intra_recon import PAD, compute_residuals
+
+
+@partial(jax.jit, static_argnames=("gw", "gh", "has_inter", "has_ibl",
+                                   "chroma_qp_off"))
+def decode_frame_pre(luma_ac, luma_dc, chroma_ac, chroma_dc, qp, is_i16,
+                     mv, ref_idx, ref_y, ref_u, ref_v,
+                     up_y_mb, up_c_mb, kind,
+                     pcm_y, pcm_u, pcm_v,
+                     *, gw: int, gh: int, has_inter: bool, has_ibl: bool,
+                     chroma_qp_off: int):
+    """kind: (gh,gw) int32 raw mb_kind (0..8); pcm_*: full planes holding
+    I_PCM samples (zeros elsewhere).  Returns (padY, padU, padV, res_y,
+    res_c)."""
+    H, W = gh * 16, gw * 16
+    res_y, res_c = compute_residuals(luma_ac, luma_dc, chroma_ac,
+                                     chroma_dc, qp, is_i16, chroma_qp_off)
+
+    y0 = pcm_y
+    u0 = pcm_u
+    v0 = pcm_v
+
+    def overlay(y0, u0, v0, mask, rec_y_mb, rec_c_mb):
+        my = jnp.repeat(jnp.repeat(mask, 16, 0), 16, 1)
+        mc = jnp.repeat(jnp.repeat(mask, 8, 0), 8, 1)
+        y0 = jnp.where(my, mbs_to_plane(rec_y_mb), y0)
+        u0 = jnp.where(mc, mbs_to_plane(rec_c_mb[:, :, 0]), u0)
+        v0 = jnp.where(mc, mbs_to_plane(rec_c_mb[:, :, 1]), v0)
+        return y0, u0, v0
+
+    if has_inter:
+        pred_y, pred_c = inter_predict_frame(ref_y, ref_u, ref_v, mv,
+                                             ref_idx, gw, gh)
+        rec_y = jnp.clip(pred_y + res_y, 0, 255)
+        rec_c = jnp.clip(pred_c + res_c, 0, 255)
+        inter_mask = (kind >= 3) & (kind != 8)
+        y0, u0, v0 = overlay(y0, u0, v0, inter_mask, rec_y, rec_c)
+    if has_ibl:
+        ibl_y = jnp.clip(up_y_mb + res_y, 0, 255)
+        ibl_c = jnp.clip(up_c_mb + res_c, 0, 255)
+        y0, u0, v0 = overlay(y0, u0, v0, kind == 8, ibl_y, ibl_c)
+
+    return (jnp.pad(y0, PAD), jnp.pad(u0, PAD), jnp.pad(v0, PAD),
+            res_y, res_c)
+
+
+@jax.jit
+def edge_pad_device(plane_pad: jnp.ndarray) -> jnp.ndarray:
+    """Replace the zero border of a PAD-padded plane with edge replication
+    (MC-ready reference plane) — stays on device."""
+    interior = plane_pad[PAD:-PAD, PAD:-PAD]
+    return jnp.pad(interior, PAD, mode="edge")
+
+
+@jax.jit
+def crop_to_host(plane_pad: jnp.ndarray) -> jnp.ndarray:
+    return plane_pad[PAD:-PAD, PAD:-PAD].astype(jnp.uint8)

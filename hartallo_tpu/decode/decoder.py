@@ -136,21 +136,18 @@ class Decoder:
     def _reconstruct(self, sps: SPS, pps: PPS, sh: SliceHeader,
                      nh: N.NalHeader, sd: SliceData, layer: _Layer,
                      dqid: int) -> np.ndarray:
+        from hartallo_tpu.decode.d_device import (crop_to_host,
+                                                  decode_frame_pre,
+                                                  edge_pad_device)
         gw, gh = sd.gw, sd.gh
         W, H = gw * 16, gh * 16
 
-        is_i16 = jnp.asarray(sd.mb_kind == MB_I16)
-        res_y, res_c = compute_residuals(
-            jnp.asarray(sd.luma_ac), jnp.asarray(sd.luma_dc),
-            jnp.asarray(sd.chroma_ac), jnp.asarray(sd.chroma_dc),
-            jnp.asarray(sd.qp, jnp.int32), is_i16,
-            pps.chroma_qp_index_offset)
-
         has_inter = bool(((sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)).any())
         has_ibl = bool((sd.mb_kind == MB_IBL).any())
-        rec_y = rec_c = None
+
+        dummy = jnp.zeros((1, 1, 1), jnp.int32)
+        ry = ru = rv = dummy
         if has_inter:
-            from hartallo_tpu.decode.inter_recon import inter_predict_frame
             from hartallo_tpu.decode.mv import derive_mvs
             derive_mvs(sd)
             reflist = layer.dpb.ref_list_p(
@@ -162,12 +159,9 @@ class Decoder:
             ry = jnp.stack([f.planes_pad[0] for f in reflist])
             ru = jnp.stack([f.planes_pad[1] for f in reflist])
             rv = jnp.stack([f.planes_pad[2] for f in reflist])
-            pred_y, pred_c = inter_predict_frame(
-                ry, ru, rv, sd.mv, sd.ref_idx, gw, gh)
-            rec_y = np.asarray(jnp.clip(pred_y + res_y, 0, 255))
-            rec_c = np.asarray(jnp.clip(pred_c + res_c, 0, 255))
 
-        ibl_y = ibl_c = None
+        up_y_mb = jnp.zeros((gh, gw, 16, 16), jnp.int32)
+        up_c_mb = jnp.zeros((gh, gw, 2, 8, 8), jnp.int32)
         if has_ibl:
             from hartallo_tpu.svc.upsample import upsample_plane
             base_dqid = sh.ref_layer_dq_id if sh.ref_layer_dq_id >= 0 \
@@ -185,37 +179,30 @@ class Decoder:
             up_c_mb = jnp.stack(
                 [up_u.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
                  up_v.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)], axis=2)
-            ibl_y = np.asarray(jnp.clip(up_y_mb + res_y, 0, 255))
-            ibl_c = np.asarray(jnp.clip(up_c_mb + res_c, 0, 255))
 
-        # initial planes: PCM + inter + I_BL recon pre-placed
-        y0 = np.zeros((H, W), np.int32)
-        u0 = np.zeros((H // 2, W // 2), np.int32)
-        v0 = np.zeros((H // 2, W // 2), np.int32)
+        # I_PCM planes (rare): composed on host once
+        pcm_y = np.zeros((H, W), np.int32)
+        pcm_u = np.zeros((H // 2, W // 2), np.int32)
+        pcm_v = np.zeros((H // 2, W // 2), np.int32)
         for my, mx in zip(*np.nonzero(sd.mb_kind == MB_PCM)):
-            y0[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
+            pcm_y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
                 sd.pcm_luma[my, mx]
-            u0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+            pcm_u[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
                 sd.pcm_chroma[my, mx, 0]
-            v0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+            pcm_v[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
                 sd.pcm_chroma[my, mx, 1]
 
-        def place(mask, ry, rc):
-            for my, mx in zip(*np.nonzero(mask)):
-                y0[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
-                    ry[my, mx]
-                u0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
-                    rc[my, mx, 0]
-                v0[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
-                    rc[my, mx, 1]
-
-        if has_inter:
-            place((sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL), rec_y, rec_c)
-        if has_ibl:
-            place(sd.mb_kind == MB_IBL, ibl_y, ibl_c)
-        padY = np.pad(y0, PAD).astype(np.int32)
-        padU = np.pad(u0, PAD).astype(np.int32)
-        padV = np.pad(v0, PAD).astype(np.int32)
+        padY, padU, padV, res_y, res_c = decode_frame_pre(
+            jnp.asarray(sd.luma_ac), jnp.asarray(sd.luma_dc),
+            jnp.asarray(sd.chroma_ac), jnp.asarray(sd.chroma_dc),
+            jnp.asarray(sd.qp, jnp.int32),
+            jnp.asarray(sd.mb_kind == MB_I16),
+            jnp.asarray(sd.mv, jnp.int32),
+            jnp.asarray(sd.ref_idx, jnp.int32), ry, ru, rv,
+            up_y_mb, up_c_mb, jnp.asarray(sd.mb_kind, jnp.int32),
+            jnp.asarray(pcm_y), jnp.asarray(pcm_u), jnp.asarray(pcm_v),
+            gw=gw, gh=gh, has_inter=has_inter, has_ibl=has_ibl,
+            chroma_qp_off=pps.chroma_qp_index_offset)
 
         mb_is_inter = (sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)
         al, at = availability_masks(sd.slice_id,
@@ -231,7 +218,7 @@ class Decoder:
                                         np.where(sd.mb_kind == MB_I16, 1,
                                                  2)).astype(np.int32))
         pY, pU, pV = intra_reconstruct(
-            (jnp.asarray(padY), jnp.asarray(padU), jnp.asarray(padV)),
+            (padY, padU, padV),
             res_y, res_c, kind_dev,
             jnp.asarray(sd.i16_mode, jnp.int32),
             jnp.asarray(sd.i4_modes, jnp.int32),
@@ -241,26 +228,22 @@ class Decoder:
         if (sd.deblock_idc != 1).any():
             pY, pU, pV = self._deblock(sps, pps, sd, (pY, pU, pV), sched)
 
-        y = np.asarray(pY)[PAD:PAD + H, PAD:PAD + W]
-        u = np.asarray(pU)[PAD:PAD + H // 2, PAD:PAD + W // 2]
-        v = np.asarray(pV)[PAD:PAD + H // 2, PAD:PAD + W // 2]
+        y = np.asarray(crop_to_host(pY))
+        u = np.asarray(crop_to_host(pU))
+        v = np.asarray(crop_to_host(pV))
         layer.last_recon = (y, u, v)
 
         layer.dpb.max_refs = sps.max_num_ref_frames
         if nh.ref_idc != 0:
-            from hartallo_tpu.ops.interpol import pad_plane
-            planes_pad = (jnp.asarray(pad_plane(y)),
-                          jnp.asarray(pad_plane(u)),
-                          jnp.asarray(pad_plane(v)))
+            planes_pad = (edge_pad_device(pY), edge_pad_device(pU),
+                          edge_pad_device(pV))
             layer.dpb.add(Frame(frame_num=sh.frame_num, poc=0,
                                 planes_pad=planes_pad),
                           mmcos=sh.mmcos or None,
                           idr=nh.is_idr,
                           long_term_reference_flag=sh.long_term_reference_flag)
 
-        frame = np.concatenate([y.astype(np.uint8).ravel(),
-                                u.astype(np.uint8).ravel(),
-                                v.astype(np.uint8).ravel()])
+        frame = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
         return frame
 
     # ------------------------------------------------------------------

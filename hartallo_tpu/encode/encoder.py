@@ -213,124 +213,24 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def _encode_p(self, srcY, srcU, srcV, qp, lam, sched, gw, gh):
-        from hartallo_tpu.core.tables import QP_SCALE_CHROMA
-        from hartallo_tpu.decode.inter_recon import inter_predict_frame
         from hartallo_tpu.decode.mv import compute_mvds_and_skip
         from hartallo_tpu.decode.slice_decode import (MB_P16X16, MB_P16X8,
                                                       MB_P8X16, MB_P8X8)
-        from hartallo_tpu.encode.me import (_PART_OF_BLK, full_search_int,
-                                            refine_subpel)
-        from hartallo_tpu.ops.transform import (
-            dequant_4x4, forward_dct_4x4, forward_hadamard_quant_dc_chroma,
-            forward_quant_4x4, inverse_transform_4x4, chroma_dc_descale)
+        from hartallo_tpu.encode.p_device import p_frame_device
 
         refY, refU, refV = self._ref_planes
-        H, W = gh * 16, gw * 16
         R = int(min(self.cfg.me_range, PAD - 8))
-        lamf = jnp.float32(lam)
+        wq, dcq, acq, mv44_d, choice_d, recY, recU, recV = p_frame_device(
+            srcY, srcU, srcV, refY, refU, refV, jnp.asarray(qp),
+            float(lam), gw=gw, gh=gh, rng=R,
+            refine=self.cfg.me_range > 0,
+            chroma_qp_off=self.pps.chroma_qp_index_offset)
 
-        (b16c, b16v, b168c, b168v, b816c, b816v, b88c, b88v) = \
-            full_search_int(srcY, refY, lamf, gw=gw, gh=gh, rng=R)
-
-        # partition decision (integer-pel costs + mode-bit penalties)
-        c16 = b16c + lam * 1.0
-        c168 = b168c.sum(-1) + lam * 3.0
-        c816 = b816c.sum(-1) + lam * 3.0
-        c88 = b88c.sum(-1) + lam * 9.0
-        allc = jnp.stack([c16, c168, c816, c88])
-        choice = jnp.argmin(allc, axis=0)              # (gh,gw) 0..3
-
-        # per-4x4-block integer MVs (quarter-pel units) + partition ids
-        def blk_of(vmap_part, part_map):
-            # vmap_part (gh,gw,P,2); part_map (4,4) raster -> (gh,gw,16,2)
-            pm = jnp.asarray(part_map.reshape(16))
-            return jnp.take_along_axis(
-                vmap_part,
-                jnp.broadcast_to(pm[None, None, :, None],
-                                 (gh, gw, 16, 1)), axis=2)
-
-        mv16b = jnp.broadcast_to(b16v[:, :, None, :], (gh, gw, 16, 2))
-        mv168b = blk_of(b168v, _PART_OF_BLK["16x8"])
-        mv816b = blk_of(b816v, _PART_OF_BLK["8x16"])
-        mv88b = blk_of(b88v, _PART_OF_BLK["8x8"])
-        ch = choice[:, :, None, None]
-        mv_blk = jnp.where(ch == 0, mv16b,
-                           jnp.where(ch == 1, mv168b,
-                                     jnp.where(ch == 2, mv816b, mv88b)))
-        mv_blk = mv_blk * 4                             # to quarter-pel
-        pmaps = jnp.stack([jnp.asarray(_PART_OF_BLK[k].reshape(16))
-                           for k in ("16x16", "16x8", "8x16", "8x8")])
-        part_of_blk = pmaps[choice]                     # (gh,gw,16)
-
-        # sub-pel refinement: half then quarter
-        if self.cfg.me_range > 0:
-            mv_blk, _ = refine_subpel(srcY, refY, mv_blk, part_of_blk,
-                                      lamf, 2, gw=gw, gh=gh, nparts=4)
-            mv_blk, _ = refine_subpel(srcY, refY, mv_blk, part_of_blk,
-                                      lamf, 1, gw=gw, gh=gh, nparts=4)
-
-        mv44 = np.asarray(mv_blk).reshape(gh, gw, 4, 4, 2)
-        choice_np = np.asarray(choice)
+        mv44 = np.asarray(mv44_d)
+        choice_np = np.asarray(choice_d)
         mb_kind = np.select(
             [choice_np == 0, choice_np == 1, choice_np == 2],
             [MB_P16X16, MB_P16X8, MB_P8X16], MB_P8X8).astype(np.int8)
-
-        # prediction + residual coding (batched)
-        pred_y, pred_c = inter_predict_frame(
-            refY[None], refU[None], refV[None], mv44,
-            np.zeros((gh, gw, 4), np.int8), gw, gh)
-        src_mb = jax.lax.dynamic_slice(srcY, (PAD, PAD), (H, W)) \
-            .reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
-        res = src_mb - pred_y                           # (gh,gw,16,16)
-        from hartallo_tpu.encode.intra_encode import _blocks_of_mb, _BLK_X, \
-            _BLK_Y
-        blocks = _blocks_of_mb(res)
-        qpj = jnp.asarray(qp)
-        wq = forward_quant_4x4(forward_dct_4x4(blocks), qpj[..., None],
-                               False)
-        d = dequant_4x4(wq, jnp.broadcast_to(qpj[..., None], (gh, gw, 16)))
-        r = inverse_transform_4x4(d)
-        rec = jnp.zeros((gh, gw, 16, 16), jnp.int32)
-        for b in range(16):
-            rec = rec.at[:, :, _BLK_Y[b]:_BLK_Y[b] + 4,
-                         _BLK_X[b]:_BLK_X[b] + 4].set(r[:, :, b])
-        rec_y = jnp.clip(pred_y + rec, 0, 255)
-
-        # chroma residual
-        qpc = QP_SCALE_CHROMA[np.clip(qp + self.pps.chroma_qp_index_offset,
-                                      0, 51)]
-        qpcj = jnp.asarray(qpc)
-        srcu_mb = jax.lax.dynamic_slice(srcU, (PAD, PAD),
-                                        (H // 2, W // 2)) \
-            .reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)
-        srcv_mb = jax.lax.dynamic_slice(srcV, (PAD, PAD),
-                                        (H // 2, W // 2)) \
-            .reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)
-        src_c = jnp.stack([srcu_mb, srcv_mb], axis=2)   # (gh,gw,2,8,8)
-        resc = src_c - pred_c
-        cblocks = jnp.stack(
-            [resc[..., (b >> 1) * 4:(b >> 1) * 4 + 4,
-                  (b & 1) * 4:(b & 1) * 4 + 4] for b in range(4)],
-            axis=3)                                     # (gh,gw,2,4,4,4)
-        wc = forward_dct_4x4(cblocks)
-        dc2 = jnp.stack(
-            [jnp.stack([wc[..., 0, 0, 0], wc[..., 1, 0, 0]], -1),
-             jnp.stack([wc[..., 2, 0, 0], wc[..., 3, 0, 0]], -1)], -2)
-        dcq = forward_hadamard_quant_dc_chroma(dc2, qpcj[..., None], False)
-        acq = forward_quant_4x4(wc, qpcj[..., None, None], False,
-                                skip_dc=True)
-        dcd = chroma_dc_descale(dcq, qpcj[..., None])
-        dd = dequant_4x4(acq, jnp.broadcast_to(qpcj[..., None, None],
-                                               (gh, gw, 2, 4)))
-        blk_r = jnp.arange(4) // 2
-        blk_c = jnp.arange(4) % 2
-        dd = dd.at[..., 0, 0].set(dcd[..., blk_r, blk_c])
-        rr = inverse_transform_4x4(dd)
-        recc = jnp.zeros((gh, gw, 2, 8, 8), jnp.int32)
-        for b in range(4):
-            recc = recc.at[..., (b >> 1) * 4:(b >> 1) * 4 + 4,
-                           (b & 1) * 4:(b & 1) * 4 + 4].set(rr[..., b, :, :])
-        rec_c = jnp.clip(pred_c + recc, 0, 255)
 
         arrays = {
             "use_i16": np.zeros((gh, gw), np.int32),
@@ -353,18 +253,9 @@ class Encoder:
         mvd, skip_ok = compute_mvds_and_skip(
             mb_kind, mv44, arrays["ref_idx"], arrays["sub_types"],
             coded, slice_id)
-        # skip only applies to 16x16 MBs
         skip_ok &= mb_kind == MB_P16X16
 
         payload = self._pack_p_frame(arrays, qp, mb_kind, mvd, skip_ok)
-
-        # rebuild full recon planes (pad later)
-        recY = _planes_from_mbs(np.asarray(rec_y))
-        recU = _planes_from_mbs(np.asarray(rec_c[:, :, 0]))
-        recV = _planes_from_mbs(np.asarray(rec_c[:, :, 1]))
-        recY = jnp.asarray(np.pad(recY, PAD))
-        recU = jnp.asarray(np.pad(recU, PAD))
-        recV = jnp.asarray(np.pad(recV, PAD))
         return recY, recU, recV, arrays, mb_kind, payload
 
     # ------------------------------------------------------------------
