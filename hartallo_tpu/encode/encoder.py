@@ -139,10 +139,13 @@ class Encoder:
 
         qp = np.full((gh, gw), qp_val, np.int32)
         lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp_val - 12) / 3.0)))
-        avail_l = np.zeros((gh, gw), bool)
-        avail_l[:, 1:] = True
-        avail_t = np.zeros((gh, gw), bool)
-        avail_t[1:, :] = True
+        ranges = self._slice_ranges(gh)
+        slice_id = np.zeros((gh, gw), np.int32)
+        for sid, (r0, r1) in enumerate(ranges):
+            slice_id[r0:r1, :] = sid
+        from hartallo_tpu.decode.intra_recon import availability_masks
+        avail_l, avail_t = availability_masks(
+            slice_id, False, np.zeros((gh, gw), bool))
 
         if is_idr:
             recY, recU, recV, arrays = intra_encode_frame(
@@ -152,11 +155,12 @@ class Encoder:
                 gw=gw, gh=gh)
             arrays = {k: np.asarray(val) for k, val in arrays.items()}
             mb_kind = np.where(arrays["use_i16"] > 0, 1, 0).astype(np.int8)
-            payload = self._pack_frame(arrays, qp, mb_kind, is_idr=True,
-                                       is_p=False)
+            payload = self._pack_slices(arrays, qp, mb_kind, ranges,
+                                        is_idr=True, is_p=False)
         else:
             recY, recU, recV, arrays, mb_kind, payload = \
-                self._encode_p(srcY, srcU, srcV, qp, lam, sched, gw, gh)
+                self._encode_p(srcY, srcU, srcV, qp, lam, sched, gw, gh,
+                               ranges, slice_id)
 
         # in-loop deblock of the recon for the DPB (matches the decoder)
         if self.cfg.deblock:
@@ -166,6 +170,8 @@ class Encoder:
         self.frame_num = (self.frame_num + 1) % sps.max_frame_num
         self.frame_idx += 1
 
+        if is_idr:
+            self.idr_pic_id = (self.idr_pic_id + 1) % 16
         headers = self._headers if is_idr else b""
         if self._rc is not None:
             mad = float(jnp.mean(jnp.abs(
@@ -173,46 +179,98 @@ class Encoder:
                 jax.lax.dynamic_slice(recY, (PAD, PAD), (H, W)))))
             bits = (len(payload) + len(headers)) * 8
             self._rc.end_frame(qp_val, bits, mad, is_idr)
-        return EncodeResult(data=_annexb(payload), headers=headers,
+        return EncodeResult(data=payload, headers=headers,
                             keyframe=is_idr)
 
     # ------------------------------------------------------------------
-    def _pack_frame(self, arrays: dict, qp: np.ndarray, mb_kind: np.ndarray,
-                    *, is_idr: bool, is_p: bool) -> bytes:
+    def _slice_ranges(self, gh: int):
+        """Split the MB rows into N contiguous ranges — the reference's
+        contiguous MB-range slices (hl_codec_264_encode.c:479-524), here
+        row-aligned so they match the row-sharded device passes."""
+        n = max(1, min(self.cfg.slices, gh))
+        bounds = [round(i * gh / n) for i in range(n + 1)]
+        return [(bounds[i], bounds[i + 1]) for i in range(n)
+                if bounds[i + 1] > bounds[i]]
+
+    # ------------------------------------------------------------------
+    def _pack_one_slice(self, sid: int, r0: int, r1: int, arrays, qp,
+                        mb_kind, *, is_idr: bool, is_p: bool,
+                        mvd=None, skip_ok=None) -> bytes:
+        """Pack MB rows [r0, r1) as one independent slice NAL (the
+        reference's per-slice bitstream design, hl_codec_264_encode.c)."""
         sps, pps = self.sps, self.pps
         gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
         hdr = SliceHeader(
-            first_mb_in_slice=0,
+            first_mb_in_slice=r0 * gw,
             slice_type=7 if not is_p else 5,   # all-slices-same convention
             pic_parameter_set_id=pps.pic_parameter_set_id,
             frame_num=0 if is_idr else self.frame_num,
             idr_pic_id=self.idr_pic_id if is_idr else 0,
-            slice_qp_delta=int(qp[0, 0]) - pps.pic_init_qp,
+            slice_qp_delta=int(qp[r0, 0]) - pps.pic_init_qp,
             disable_deblocking_filter_idc=0 if self.cfg.deblock else 1)
-        if is_idr:
-            self.idr_pic_id = (self.idr_pic_id + 1) % 16
-
         w = BitWriter()
         ntype = N.NAL_SLICE_IDR if is_idr else N.NAL_SLICE
-        N.write_nal_header(w, 3, ntype)
-        write_slice_header(w, hdr, sps, pps, nal_ref_idc=3, is_idr=is_idr)
+        ref_idc = 3 if is_idr else 2
+        N.write_nal_header(w, ref_idc, ntype)
+        write_slice_header(w, hdr, sps, pps, nal_ref_idc=ref_idc,
+                           is_idr=is_idr)
         from hartallo_tpu import native
         if native.available():
             hdr_bytes, hdr_bits = w.partial()
             rbsp = native.pack_slice_data(
-                hdr_bytes, hdr_bits, gw, gh, hdr.slice_qp(pps), False, 1,
-                0, arrays, qp, mb_kind)
-            return insert_emulation_prevention(rbsp)
+                hdr_bytes, hdr_bits, gw, gh, hdr.slice_qp(pps), is_p, 1,
+                sid, arrays, qp, mb_kind, mvd=mvd, skip_ok=skip_ok,
+                first_mb=r0 * gw, mb_count=(r1 - r0) * gw)
+            return _annexb(insert_emulation_prevention(rbsp))
         packer = FramePacker(gw, gh, arrays, qp, mb_kind)
         qp_state = [hdr.slice_qp(pps)]
-        for my in range(gh):
+        run = 0
+        for my in range(r0, r1):
             for mx in range(gw):
-                packer.write_i_mb(w, mx, my, qp_state, 0)
+                if not is_p:
+                    packer.write_i_mb(w, mx, my, qp_state, sid)
+                    continue
+                if skip_ok is not None and skip_ok[my, mx]:
+                    packer.mark_skip(mx, my, sid)
+                    run += 1
+                    continue
+                w.ue(run)
+                run = 0
+                if mb_kind[my, mx] <= 2:
+                    packer.write_i_mb(w, mx, my, qp_state, sid,
+                                      slice_is_p=True)
+                else:
+                    packer.write_p_mb(w, mx, my, qp_state, sid, mvd,
+                                      num_ref=1)
+        if is_p and run > 0:
+            w.ue(run)
         w.write_rbsp_trailing_bits()
-        return insert_emulation_prevention(w.getvalue())
+        return _annexb(insert_emulation_prevention(w.getvalue()))
 
     # ------------------------------------------------------------------
-    def _encode_p(self, srcY, srcU, srcV, qp, lam, sched, gw, gh):
+    def _pack_slices(self, arrays, qp, mb_kind, ranges, *, is_idr: bool,
+                     is_p: bool, mvd=None, skip_ok=None) -> bytes:
+        """All slices of the frame; packed in parallel host workers when
+        cfg.threads > 1 (the native packer releases the GIL)."""
+        if len(ranges) > 1 and self.cfg.threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=min(self.cfg.threads, len(ranges))) as ex:
+                parts = list(ex.map(
+                    lambda t: self._pack_one_slice(
+                        t[0], t[1][0], t[1][1], arrays, qp, mb_kind,
+                        is_idr=is_idr, is_p=is_p, mvd=mvd, skip_ok=skip_ok),
+                    enumerate(ranges)))
+        else:
+            parts = [self._pack_one_slice(sid, r0, r1, arrays, qp, mb_kind,
+                                          is_idr=is_idr, is_p=is_p,
+                                          mvd=mvd, skip_ok=skip_ok)
+                     for sid, (r0, r1) in enumerate(ranges)]
+        return b"".join(parts)
+
+    # ------------------------------------------------------------------
+    def _encode_p(self, srcY, srcU, srcV, qp, lam, sched, gw, gh,
+                  ranges, slice_id):
         from hartallo_tpu.decode.mv import compute_mvds_and_skip
         from hartallo_tpu.decode.slice_decode import (MB_P16X16, MB_P16X8,
                                                       MB_P8X16, MB_P8X8)
@@ -249,51 +307,15 @@ class Encoder:
         coded = (arrays["luma_ac"].any(axis=(-1, -2, -3)) |
                  arrays["chroma_dc"].any(axis=(-1, -2, -3)) |
                  arrays["chroma_ac"].any(axis=(-1, -2, -3, -4)))
-        slice_id = np.zeros((gh, gw), np.int32)
         mvd, skip_ok = compute_mvds_and_skip(
             mb_kind, mv44, arrays["ref_idx"], arrays["sub_types"],
             coded, slice_id)
         skip_ok &= mb_kind == MB_P16X16
 
-        payload = self._pack_p_frame(arrays, qp, mb_kind, mvd, skip_ok)
+        payload = self._pack_slices(arrays, qp, mb_kind, ranges,
+                                    is_idr=False, is_p=True, mvd=mvd,
+                                    skip_ok=skip_ok)
         return recY, recU, recV, arrays, mb_kind, payload
-
-    # ------------------------------------------------------------------
-    def _pack_p_frame(self, arrays, qp, mb_kind, mvd, skip_ok) -> bytes:
-        sps, pps = self.sps, self.pps
-        gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
-        hdr = SliceHeader(
-            first_mb_in_slice=0, slice_type=5,
-            pic_parameter_set_id=pps.pic_parameter_set_id,
-            frame_num=self.frame_num,
-            slice_qp_delta=int(qp[0, 0]) - pps.pic_init_qp,
-            disable_deblocking_filter_idc=0 if self.cfg.deblock else 1)
-        w = BitWriter()
-        N.write_nal_header(w, 2, N.NAL_SLICE)
-        write_slice_header(w, hdr, sps, pps, nal_ref_idc=2, is_idr=False)
-        from hartallo_tpu import native
-        if native.available():
-            hdr_bytes, hdr_bits = w.partial()
-            rbsp = native.pack_slice_data(
-                hdr_bytes, hdr_bits, gw, gh, hdr.slice_qp(pps), True, 1,
-                0, arrays, qp, mb_kind, mvd=mvd, skip_ok=skip_ok)
-            return insert_emulation_prevention(rbsp)
-        packer = FramePacker(gw, gh, arrays, qp, mb_kind)
-        qp_state = [hdr.slice_qp(pps)]
-        run = 0
-        for my in range(gh):
-            for mx in range(gw):
-                if skip_ok[my, mx]:
-                    packer.mark_skip(mx, my, 0)
-                    run += 1
-                    continue
-                w.ue(run)
-                run = 0
-                packer.write_p_mb(w, mx, my, qp_state, 0, mvd, num_ref=1)
-        if run > 0:
-            w.ue(run)
-        w.write_rbsp_trailing_bits()
-        return insert_emulation_prevention(w.getvalue())
 
     # ------------------------------------------------------------------
     def _deblock_recon(self, arrays, qp, mb_kind, planes, sched, gw, gh):

@@ -57,7 +57,7 @@ def _load():
     lib.hl_pack_slice_data.argtypes = [
         u8, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i32, i32, i32, i32, i32, i32, i32, i32,
         i8, i8, i32, i32, i8, u8,
         i16, i16, i32]
@@ -97,11 +97,14 @@ def parse_slice_data(rbsp: bytes, bitpos: int, sd, *, first_mb: int,
 def pack_slice_data(header_bytes: bytes, header_bits: int, gw: int, gh: int,
                     slice_qp: int, is_p: bool, num_ref: int, sid: int,
                     arrays: dict, qp: np.ndarray, mb_kind: np.ndarray,
-                    mvd=None, skip_ok=None) -> bytes:
-    """Native slice_data pack; returns the complete RBSP (header + data +
-    trailing bits), before emulation prevention."""
+                    mvd=None, skip_ok=None, first_mb: int = 0,
+                    mb_count: int = -1) -> bytes:
+    """Native slice_data pack of a contiguous MB range; returns the complete
+    RBSP (header + data + trailing bits), before emulation prevention."""
     lib = _load()
-    cap = gw * gh * 1024 + len(header_bytes) + 1024
+    if mb_count < 0:
+        mb_count = gw * gh - first_mb
+    cap = mb_count * 1024 + len(header_bytes) + 1024
     buf = np.zeros(cap, np.uint8)
     buf[:len(header_bytes)] = np.frombuffer(header_bytes, np.uint8)
     z32 = np.zeros((gh, gw), np.int32)
@@ -130,7 +133,8 @@ def pack_slice_data(header_bytes: bytes, header_bits: int, gw: int, gh: int,
     som = np.full(gw * gh, -1, np.int32)
 
     end = lib.hl_pack_slice_data(
-        buf, cap, header_bits, gw, gh, slice_qp, int(is_p), num_ref, sid,
+        buf, cap, header_bits, gw, gh, first_mb, mb_count,
+        slice_qp, int(is_p), num_ref, sid,
         arr32("use_i16", 1), arr32("i16_mode", 1), arr32("i4_modes", 16),
         arr32("chroma_mode", 1), arr32("luma_dc", 16),
         arr32("luma_ac", 256), arr32("chroma_dc", 8),

@@ -1153,11 +1153,15 @@ static void pk_write_p_mb(PCtx *c, BW *w, int mx, int my, int *qp_state,
     pk_write_chroma(c, w, mx, my, cbp_chroma);
 }
 
-/* Pack slice_data for a full frame.  buf already holds the slice header
- * bits (bitpos = current position).  Returns final bit position or <0. */
+/* Pack slice_data for a contiguous MB range [first_mb, first_mb+mb_count)
+ * (a full frame when first_mb=0, mb_count=gw*gh — the reference's
+ * per-slice contiguous MB ranges, hl_codec_264_encode.c:479-524).  buf
+ * already holds the slice header bits (bitpos = current position).
+ * Returns final bit position or <0. */
 int64_t hl_pack_slice_data(
     uint8_t *buf, int64_t bufcap, int64_t bitpos,
-    int32_t gw, int32_t gh, int32_t slice_qp, int32_t is_p,
+    int32_t gw, int32_t gh, int32_t first_mb, int32_t mb_count,
+    int32_t slice_qp, int32_t is_p,
     int32_t num_ref, int32_t sid,
     const int32_t *use_i16, const int32_t *i16_mode,
     const int32_t *i4_modes, const int32_t *chroma_mode,
@@ -1176,9 +1180,10 @@ int64_t hl_pack_slice_data(
                slice_of_mb_scratch };
     int qp_state = slice_qp;
     int64_t run = 0;
-    for (int my = 0; my < gh; ++my)
-        for (int mx = 0; mx < gw; ++mx) {
-            int idx = my * gw + mx;
+    for (int addr = first_mb; addr < first_mb + mb_count; ++addr) {
+        {
+            int my = addr / gw, mx = addr % gw;
+            int idx = addr;
             if (is_p) {
                 if (skip_ok && skip_ok[idx]) {
                     c.slice_of_mb[idx] = sid;
@@ -1206,6 +1211,7 @@ int64_t hl_pack_slice_data(
             }
             if (w.error) return -1;
         }
+    }
     if (is_p && run > 0) bw_ue(&w, (uint32_t)run);
     /* rbsp trailing bits */
     bw_u(&w, 1, 1);

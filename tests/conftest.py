@@ -12,7 +12,15 @@ import pathlib
 import subprocess
 
 import jax
-import pytest
+
+# Some environments inject a TPU-tunnel PJRT plugin via sitecustomize that
+# force-overrides jax_platforms at interpreter start (ignoring the
+# JAX_PLATFORMS env var).  Tests must run on the local virtual-8-device CPU
+# mesh, so re-assert the CPU platform here — config.update wins as long as
+# no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 

@@ -1,0 +1,119 @@
+"""Sharded encode-step correctness: the full P-frame pipeline under
+shard_map (halo exchange + per-band deblock) must produce EXACTLY the
+result of running the same fused pipeline per row band on one device with
+hand-built halos.  This proves the ppermute dataflow, not just shapes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hartallo_tpu.decode.intra_recon import PAD
+
+N_DEV = 4
+GW, GH = 6, 8          # 2 MB rows per shard
+RNG = 8
+QPV = 30
+LAM = 4.0
+
+
+def _content():
+    r = np.random.default_rng(5)
+    H, W = GH * 16, GW * 16
+    refY = r.integers(0, 256, (H, W)).astype(np.int32)
+    # src = ref shifted with noise so ME finds real motion
+    srcY = np.roll(refY, (3, -2), axis=(0, 1))
+    srcY = np.clip(srcY + r.integers(-6, 7, (H, W)), 0, 255)
+    refU, refV = (r.integers(0, 256, (H // 2, W // 2)).astype(np.int32)
+                  for _ in range(2))
+    srcU = np.clip(np.roll(refU, (1, -1), axis=(0, 1)) +
+                   r.integers(-4, 5, (H // 2, W // 2)), 0, 255)
+    srcV = np.clip(np.roll(refV, (1, -1), axis=(0, 1)) +
+                   r.integers(-4, 5, (H // 2, W // 2)), 0, 255)
+    return srcY, srcU, srcV, refY, refU, refV
+
+
+def _band_oracle(srcY, srcU, srcV, refY, refU, refV, qp):
+    """Single-device emulation: per band, pad with REAL neighbor rows
+    (what the halo exchange delivers) and run the fused pipeline +
+    per-band deblock."""
+    from hartallo_tpu.encode.p_device import p_frame_device
+    from hartallo_tpu.parallel.shard import _shard_deblock
+    from hartallo_tpu.decode.intra_recon import wavefront_schedule
+
+    gh_l = GH // N_DEV
+    outs = []
+    for s in range(N_DEV):
+        def cut(x, scale):
+            h = gh_l * 16 // scale
+            r0 = s * h
+            pad = np.pad(x, PAD, mode="edge")
+            return jnp.asarray(pad[r0:r0 + h + 2 * PAD, :])
+
+        sY, rY = cut(srcY, 1), cut(refY, 1)
+        sU, rU = cut(srcU, 2), cut(refU, 2)
+        sV, rV = cut(srcV, 2), cut(refV, 2)
+        qp_l = jnp.asarray(qp[s * gh_l:(s + 1) * gh_l])
+        wq, dcq, acq, mv44, choice, recY, recU, recV = p_frame_device(
+            sY, sU, sV, rY, rU, rV, qp_l, jnp.float32(LAM),
+            gw=GW, gh=gh_l, rng=RNG, refine=True, chroma_qp_off=0)
+        sched = jnp.asarray(wavefront_schedule(GW, gh_l))
+        recY, recU, recV = _shard_deblock(
+            wq, mv44, qp_l, 0, (recY, recU, recV), sched, GW, gh_l)
+        H, W = gh_l * 16, GW * 16
+        outs.append((np.asarray(wq), np.asarray(mv44),
+                     np.asarray(recY[PAD:PAD + H, PAD:PAD + W]),
+                     np.asarray(recU[PAD:PAD + H // 2, PAD:PAD + W // 2])))
+    return outs
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV,
+                    reason="needs virtual multi-device mesh")
+def test_sharded_step_matches_band_oracle():
+    from hartallo_tpu.parallel.shard import make_mesh, p_encode_step_sharded
+
+    srcY, srcU, srcV, refY, refU, refV = _content()
+    qp = np.full((GH, GW), QPV, np.int32)
+    mesh = make_mesh(N_DEV)
+    wq, dcq, acq, mv44, choice, recY, recU, recV = p_encode_step_sharded(
+        mesh, srcY, srcU, srcV, refY, refU, refV, qp, lam=LAM,
+        gw=GW, gh=GH, rng=RNG)
+    wq, mv44 = np.asarray(wq), np.asarray(mv44)
+    recY, recU = np.asarray(recY), np.asarray(recU)
+
+    gh_l = GH // N_DEV
+    oracle = _band_oracle(srcY, srcU, srcV, refY, refU, refV, qp)
+    for s, (owq, omv, orecY, orecU) in enumerate(oracle):
+        r0 = s * gh_l
+        np.testing.assert_array_equal(mv44[r0:r0 + gh_l], omv,
+                                      err_msg=f"shard {s} mv")
+        np.testing.assert_array_equal(wq[r0:r0 + gh_l], owq,
+                                      err_msg=f"shard {s} coeffs")
+        np.testing.assert_array_equal(
+            recY[r0 * 16:(r0 + gh_l) * 16], orecY,
+            err_msg=f"shard {s} recon Y")
+        np.testing.assert_array_equal(
+            recU[r0 * 8:(r0 + gh_l) * 8], orecU,
+            err_msg=f"shard {s} recon U")
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV,
+                    reason="needs virtual multi-device mesh")
+def test_halo_exchange_beats_edge_replication():
+    """Vertical motion across the shard boundary must be findable: with
+    real halos the ME matches the true content of the neighbor band, which
+    edge replication cannot provide."""
+    from hartallo_tpu.parallel.shard import make_mesh, p_encode_step_sharded
+
+    srcY, srcU, srcV, refY, refU, refV = _content()
+    qp = np.full((GH, GW), QPV, np.int32)
+    mesh = make_mesh(N_DEV)
+    out = p_encode_step_sharded(
+        mesh, srcY, srcU, srcV, refY, refU, refV, qp, lam=LAM,
+        gw=GW, gh=GH, rng=RNG)
+    mv44 = np.asarray(out[3])
+    # src rolled down by 3 px => dominant MV should be (x=+2*4, y=-3*4)-ish;
+    # just require boundary-row MBs to carry nonzero vertical motion.
+    gh_l = GH // N_DEV
+    boundary_rows = [s * gh_l for s in range(1, N_DEV)]
+    vy = mv44[boundary_rows, :, :, :, 1]
+    assert (vy != 0).mean() > 0.5, "boundary MBs found no vertical motion"

@@ -7,7 +7,7 @@ Usage:
       [--dqid-max N] [--md5]
   python tools/hartallo_cli.py encode <in.yuv> <W> <H> <out.264>
       [--qp N] [--gop N] [--frames N] [--bitrate BPS] [--no-deblock]
-      [--me-range N]
+      [--me-range N] [--slices N] [--threads N]
   python tools/hartallo_cli.py encode-svc <base.yuv> <W0> <H0>
       <enh.yuv> <W1> <H1> <out.264> [--qp N] [--gop N] [--frames N]
 """
@@ -47,7 +47,8 @@ def cmd_encode(args):
     fsz = W * H * 3 // 2
     cfg = CodecConfig(width=W, height=H, qp=args.qp, gop_size=args.gop,
                       deblock=not args.no_deblock, me_range=args.me_range,
-                      rc_bitrate=args.bitrate)
+                      rc_bitrate=args.bitrate, slices=args.slices,
+                      threads=args.threads)
     codec = Codec(cfg)
     n = 0
     t0 = time.perf_counter()
@@ -112,6 +113,10 @@ def main():
     e.add_argument("--bitrate", type=int, default=-1)
     e.add_argument("--me-range", type=int, default=16)
     e.add_argument("--no-deblock", action="store_true")
+    e.add_argument("--slices", type=int, default=1,
+                   help="slices per frame (contiguous MB-row ranges)")
+    e.add_argument("--threads", type=int, default=1,
+                   help="host entropy-packing workers")
     e.set_defaults(fn=cmd_encode)
 
     s = sub.add_parser("encode-svc")
