@@ -103,7 +103,22 @@ def _partition_geometry(kind, sub_types=None):
 
 
 def derive_mvs(sd: SliceData) -> None:
-    """Decoder pass: fill sd.mv from sd.mvd (+ skip/intra rules)."""
+    """Decoder pass: fill sd.mv from sd.mvd (+ skip/intra rules).
+    Dispatches to the native C core when available (the serial per-MB
+    state machine is a host hot loop at 1080p); ``derive_mvs_py`` is the
+    oracle implementation."""
+    from hartallo_tpu import native
+    if native.available():
+        sd.mv[:, :] = native.derive_mvs(sd.gw, sd.gh, sd.mb_kind, sd.mvd,
+                                        sd.ref_idx, sd.sub_types,
+                                        sd.slice_id)
+        sd.ref_idx[sd.mb_kind == MB_PSKIP] = 0
+        return
+    derive_mvs_py(sd)
+
+
+def derive_mvs_py(sd: SliceData) -> None:
+    """Pure-Python oracle for ``derive_mvs``."""
     gh, gw = sd.gh, sd.gw
     P = MvPredictor(gw, gh, sd.slice_id)
 
@@ -161,6 +176,20 @@ def _sub_geometry(st):
 def compute_mvds_and_skip(mb_kind: np.ndarray, mv: np.ndarray,
                           ref_idx: np.ndarray, sub_types: np.ndarray,
                           coded: np.ndarray, slice_id: np.ndarray):
+    """Encoder pass: final MVs -> (mvd, skip_ok).  Native C when
+    available; ``compute_mvds_and_skip_py`` is the oracle."""
+    from hartallo_tpu import native
+    if native.available():
+        gh, gw = mb_kind.shape
+        return native.compute_mvds_and_skip(gw, gh, mb_kind, mv, ref_idx,
+                                            sub_types, coded, slice_id)
+    return compute_mvds_and_skip_py(mb_kind, mv, ref_idx, sub_types,
+                                    coded, slice_id)
+
+
+def compute_mvds_and_skip_py(mb_kind: np.ndarray, mv: np.ndarray,
+                             ref_idx: np.ndarray, sub_types: np.ndarray,
+                             coded: np.ndarray, slice_id: np.ndarray):
     """Encoder pass: final MVs -> (mvd (gh,gw,4,4,2), skip_ok (gh,gw)).
 
     ``coded`` (gh,gw) bool: MB has any nonzero coefficients (skip requires

@@ -53,6 +53,12 @@ def _load():
         i32, i32, i32, i32, i16, i16, u8, u8, i32, i32, i8, i8,
         i8, i8, i8,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.hl_derive_mvs.restype = ctypes.c_int64
+    lib.hl_derive_mvs.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, i8, i32, i8, i8, i32, i32]
+    lib.hl_compute_mvds_and_skip.restype = ctypes.c_int64
+    lib.hl_compute_mvds_and_skip.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, i8, i32, i8, i8, u8, i32, i32, u8]
     lib.hl_pack_slice_data.restype = ctypes.c_int64
     lib.hl_pack_slice_data.argtypes = [
         u8, ctypes.c_int64, ctypes.c_int64,
@@ -146,3 +152,39 @@ def pack_slice_data(header_bytes: bytes, header_bits: int, gw: int, gh: int,
     if end < 0:
         raise RuntimeError("native pack failed")
     return bytes(buf[:end // 8].tobytes())
+
+
+def derive_mvs(gw: int, gh: int, mb_kind, mvd, ref_idx, sub_types,
+               slice_id) -> np.ndarray:
+    """Native 8.4.1 MV derivation (decoder direction).  Returns mv
+    (gh,gw,4,4,2) int32."""
+    lib = _load()
+    mv_out = np.zeros((gh, gw, 4, 4, 2), np.int32)
+    lib.hl_derive_mvs(
+        gw, gh,
+        np.ascontiguousarray(mb_kind.reshape(-1).astype(np.int8)),
+        np.ascontiguousarray(mvd.reshape(-1).astype(np.int32)),
+        np.ascontiguousarray(ref_idx.reshape(-1).astype(np.int8)),
+        np.ascontiguousarray(sub_types.reshape(-1).astype(np.int8)),
+        np.ascontiguousarray(slice_id.reshape(-1).astype(np.int32)),
+        mv_out.reshape(-1))
+    return mv_out
+
+
+def compute_mvds_and_skip(gw: int, gh: int, mb_kind, mv, ref_idx,
+                          sub_types, coded, slice_id):
+    """Native 8.4.1 inverse pass (encoder direction).  Returns
+    (mvd (gh,gw,4,4,2) int32, skip_ok (gh,gw) bool)."""
+    lib = _load()
+    mvd_out = np.zeros((gh, gw, 4, 4, 2), np.int32)
+    skip_out = np.zeros(gh * gw, np.uint8)
+    lib.hl_compute_mvds_and_skip(
+        gw, gh,
+        np.ascontiguousarray(mb_kind.reshape(-1).astype(np.int8)),
+        np.ascontiguousarray(mv.reshape(-1).astype(np.int32)),
+        np.ascontiguousarray(ref_idx.reshape(-1).astype(np.int8)),
+        np.ascontiguousarray(sub_types.reshape(-1).astype(np.int8)),
+        np.ascontiguousarray(coded.reshape(-1).astype(np.uint8)),
+        np.ascontiguousarray(slice_id.reshape(-1).astype(np.int32)),
+        mvd_out.reshape(-1), skip_out)
+    return mvd_out, skip_out.reshape(gh, gw).astype(bool)

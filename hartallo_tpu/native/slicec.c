@@ -1218,3 +1218,315 @@ int64_t hl_pack_slice_data(
     while (w.pos & 7) bw_u(&w, 0, 1);
     return w.error ? -1 : w.pos;
 }
+
+/* ================================================================== */
+/* 8.4.1 MV prediction + derivation (native mirror of decode/mv.py,
+ * reference hl_codec_264_utils.c:620-965: median MV prediction, P-Skip
+ * rule, partition/sub-partition geometry).  Two passes share one core:
+ * hl_derive_mvs (decoder: mvd -> mv) and hl_compute_mvds_and_skip
+ * (encoder: mv -> mvd + skip eligibility). */
+
+#include <stdlib.h>
+
+enum { SH_16X16 = 0, SH_16X8_TOP, SH_16X8_BOT, SH_8X16_L, SH_8X16_R };
+
+typedef struct {
+    int gw, gh;
+    int32_t *mv_g;           /* (4gh,4gw,2) */
+    int32_t *ref_g;          /* (4gh,4gw) */
+    uint8_t *done;           /* (4gh,4gw) */
+    const int32_t *mb_slice; /* (gh,gw) */
+} MP;
+
+static inline int med3(int a, int b, int c)
+{
+    int mx = a > b ? a : b, mn = a < b ? a : b;
+    return mx < c ? mx : (mn > c ? mn : c);
+}
+
+static int mp_neighbor(const MP *m, int bx, int by, int mbx, int mby,
+                       int *mvx, int *mvy, int *ref)
+{
+    if (bx < 0 || by < 0 || bx >= 4 * m->gw || by >= 4 * m->gh)
+        return 0;
+    if (m->mb_slice[(by >> 2) * m->gw + (bx >> 2)] !=
+        m->mb_slice[mby * m->gw + mbx])
+        return 0;
+    if (!m->done[by * 4 * m->gw + bx])
+        return 0;
+    *mvx = m->mv_g[(by * 4 * m->gw + bx) * 2];
+    *mvy = m->mv_g[(by * 4 * m->gw + bx) * 2 + 1];
+    *ref = m->ref_g[by * 4 * m->gw + bx];
+    return 1;
+}
+
+static void mp_predict(const MP *m, int gx4, int gy4, int w4, int h4,
+                       int ref, int mbx, int mby, int shape,
+                       int *px, int *py)
+{
+    int ax = 0, ay = 0, ar = -1, bx = 0, by = 0, br = -1;
+    int cx = 0, cy = 0, cr = -1;
+    int aA = mp_neighbor(m, gx4 - 1, gy4, mbx, mby, &ax, &ay, &ar);
+    int aB = mp_neighbor(m, gx4, gy4 - 1, mbx, mby, &bx, &by, &br);
+    int aC = mp_neighbor(m, gx4 + w4, gy4 - 1, mbx, mby, &cx, &cy, &cr);
+    (void)h4;
+    if (!aC)
+        aC = mp_neighbor(m, gx4 - 1, gy4 - 1, mbx, mby, &cx, &cy, &cr);
+    if (shape == SH_16X8_TOP && aB && br == ref) { *px = bx; *py = by; return; }
+    if (shape == SH_16X8_BOT && aA && ar == ref) { *px = ax; *py = ay; return; }
+    if (shape == SH_8X16_L && aA && ar == ref) { *px = ax; *py = ay; return; }
+    if (shape == SH_8X16_R && aC && cr == ref) { *px = cx; *py = cy; return; }
+    {
+        int mA = aA && ar == ref, mB = aB && br == ref, mC = aC && cr == ref;
+        if (mA && !mB && !mC) { *px = ax; *py = ay; return; }
+        if (!mA && mB && !mC) { *px = bx; *py = by; return; }
+        if (!mA && !mB && mC) { *px = cx; *py = cy; return; }
+    }
+    if (aA && !aB && !aC) { *px = ax; *py = ay; return; }
+    {
+        int mAx = aA ? ax : 0, mAy = aA ? ay : 0;
+        int mBx = aB ? bx : 0, mBy = aB ? by : 0;
+        int mCx = aC ? cx : 0, mCy = aC ? cy : 0;
+        *px = med3(mAx, mBx, mCx);
+        *py = med3(mAy, mBy, mCy);
+    }
+}
+
+static void mp_pskip(const MP *m, int mbx, int mby, int *px, int *py)
+{
+    int x4 = mbx * 4, y4 = mby * 4;
+    int ax, ay, ar, bx, by, br;
+    int aA = mp_neighbor(m, x4 - 1, y4, mbx, mby, &ax, &ay, &ar);
+    int aB = mp_neighbor(m, x4, y4 - 1, mbx, mby, &bx, &by, &br);
+    if (!aA || !aB ||
+        (aA && ar == 0 && ax == 0 && ay == 0) ||
+        (aB && br == 0 && bx == 0 && by == 0)) {
+        *px = 0; *py = 0;
+        return;
+    }
+    mp_predict(m, x4, y4, 4, 4, 0, mbx, mby, SH_16X16, px, py);
+}
+
+static void mp_assign(MP *m, int gx4, int gy4, int w4, int h4,
+                      int mvx, int mvy, int ref)
+{
+    int W = 4 * m->gw;
+    for (int y = gy4; y < gy4 + h4; ++y)
+        for (int x = gx4; x < gx4 + w4; ++x) {
+            m->mv_g[(y * W + x) * 2] = mvx;
+            m->mv_g[(y * W + x) * 2 + 1] = mvy;
+            m->ref_g[y * W + x] = ref;
+            m->done[y * W + x] = 1;
+        }
+}
+
+/* sub_mb geometry: fills (ox,oy,w4,h4) quadruples, returns count */
+static int sub_geom(int st, int g[4][4])
+{
+    if (st == 0) { g[0][0]=0;g[0][1]=0;g[0][2]=2;g[0][3]=2; return 1; }
+    if (st == 1) { g[0][0]=0;g[0][1]=0;g[0][2]=2;g[0][3]=1;
+                   g[1][0]=0;g[1][1]=1;g[1][2]=2;g[1][3]=1; return 2; }
+    if (st == 2) { g[0][0]=0;g[0][1]=0;g[0][2]=1;g[0][3]=2;
+                   g[1][0]=1;g[1][1]=0;g[1][2]=1;g[1][3]=2; return 2; }
+    g[0][0]=0;g[0][1]=0;g[0][2]=1;g[0][3]=1;
+    g[1][0]=1;g[1][1]=0;g[1][2]=1;g[1][3]=1;
+    g[2][0]=0;g[2][1]=1;g[2][2]=1;g[2][3]=1;
+    g[3][0]=1;g[3][1]=1;g[3][2]=1;g[3][3]=1;
+    return 4;
+}
+
+/* partition geometry per kind (4=16x16, 5=16x8, 6=8x16):
+ * (shape, ref_slot, ox, oy, w4, h4, mvd_iy, mvd_ix) */
+static int part_geom(int kind, int g[2][8])
+{
+    if (kind == 4) {
+        int t[8] = {SH_16X16, 0, 0, 0, 4, 4, 0, 0};
+        memcpy(g[0], t, sizeof t); return 1;
+    }
+    if (kind == 5) {
+        int t0[8] = {SH_16X8_TOP, 0, 0, 0, 4, 2, 0, 0};
+        int t1[8] = {SH_16X8_BOT, 2, 0, 2, 4, 2, 2, 0};
+        memcpy(g[0], t0, sizeof t0); memcpy(g[1], t1, sizeof t1); return 2;
+    }
+    {
+        int t0[8] = {SH_8X16_L, 0, 0, 0, 2, 4, 0, 0};
+        int t1[8] = {SH_8X16_R, 1, 2, 0, 2, 4, 0, 2};
+        memcpy(g[0], t0, sizeof t0); memcpy(g[1], t1, sizeof t1); return 2;
+    }
+}
+
+static MP *mp_create(int gw, int gh, const int32_t *mb_slice)
+{
+    MP *m = (MP *)malloc(sizeof(MP));
+    int n = 16 * gw * gh;
+    m->gw = gw; m->gh = gh;
+    m->mv_g = (int32_t *)calloc((size_t)n * 2, 4);
+    m->ref_g = (int32_t *)malloc((size_t)n * 4);
+    for (int i = 0; i < n; ++i) m->ref_g[i] = -1;
+    m->done = (uint8_t *)calloc((size_t)n, 1);
+    m->mb_slice = mb_slice;
+    return m;
+}
+
+static void mp_free(MP *m)
+{
+    free(m->mv_g); free(m->ref_g); free(m->done); free(m);
+}
+
+/* Decoder pass: mvd -> final MV field.  mv_out (gh,gw,4,4,2). */
+int64_t hl_derive_mvs(int32_t gw, int32_t gh, const int8_t *mb_kind,
+                      const int32_t *mvd, const int8_t *ref_idx,
+                      const int8_t *sub_types, const int32_t *slice_id,
+                      int32_t *mv_out)
+{
+    MP *m = mp_create(gw, gh, slice_id);
+    int W = 4 * gw;
+    for (int mby = 0; mby < gh; ++mby)
+        for (int mbx = 0; mbx < gw; ++mbx) {
+            int kind = mb_kind[mby * gw + mbx];
+            int x4 = mbx * 4, y4 = mby * 4;
+            int64_t mb = (int64_t)mby * gw + mbx;
+            if (kind < 3) { mp_assign(m, x4, y4, 4, 4, 0, 0, -1); continue; }
+            if (kind == 3) {                    /* P_Skip */
+                int mx_, my_;
+                mp_pskip(m, mbx, mby, &mx_, &my_);
+                mp_assign(m, x4, y4, 4, 4, mx_, my_, 0);
+                continue;
+            }
+            if (kind >= 4 && kind <= 6) {
+                int g[2][8];
+                int np = part_geom(kind, g);
+                for (int p = 0; p < np; ++p) {
+                    int shape = g[p][0], slot = g[p][1];
+                    int ox = g[p][2], oy = g[p][3];
+                    int w4 = g[p][4], h4 = g[p][5];
+                    int iy = g[p][6], ix = g[p][7];
+                    int ref = ref_idx[mb * 4 + slot];
+                    int px, py;
+                    mp_predict(m, x4 + ox, y4 + oy, w4, h4, ref, mbx, mby,
+                               shape, &px, &py);
+                    int dx = mvd[((mb * 4 + iy) * 4 + ix) * 2];
+                    int dy = mvd[((mb * 4 + iy) * 4 + ix) * 2 + 1];
+                    mp_assign(m, x4 + ox, y4 + oy, w4, h4, px + dx,
+                              py + dy, ref);
+                }
+            } else {                            /* P_8x8 */
+                for (int part = 0; part < 4; ++part) {
+                    int py0 = (part >> 1) * 2, px0 = (part & 1) * 2;
+                    int ref = ref_idx[mb * 4 + part];
+                    int st = sub_types[mb * 4 + part];
+                    int sg[4][4];
+                    int ns = sub_geom(st, sg);
+                    for (int s = 0; s < ns; ++s) {
+                        int ox = sg[s][0], oy = sg[s][1];
+                        int w4 = sg[s][2], h4 = sg[s][3];
+                        int gx = x4 + px0 + ox, gy = y4 + py0 + oy;
+                        int px, py;
+                        mp_predict(m, gx, gy, w4, h4, ref, mbx, mby,
+                                   SH_16X16, &px, &py);
+                        int dx = mvd[((mb * 4 + py0 + oy) * 4
+                                      + px0 + ox) * 2];
+                        int dy = mvd[((mb * 4 + py0 + oy) * 4
+                                      + px0 + ox) * 2 + 1];
+                        mp_assign(m, gx, gy, w4, h4, px + dx, py + dy,
+                                  ref);
+                    }
+                }
+            }
+        }
+    /* mv_g (4gh,4gw,2) -> (gh,gw,4,4,2) */
+    for (int mby = 0; mby < gh; ++mby)
+        for (int mbx = 0; mbx < gw; ++mbx)
+            for (int by = 0; by < 4; ++by)
+                for (int bx = 0; bx < 4; ++bx) {
+                    int64_t src = ((int64_t)(mby * 4 + by) * W
+                                   + mbx * 4 + bx) * 2;
+                    int64_t dst = ((((int64_t)mby * gw + mbx) * 4 + by)
+                                   * 4 + bx) * 2;
+                    mv_out[dst] = m->mv_g[src];
+                    mv_out[dst + 1] = m->mv_g[src + 1];
+                }
+    mp_free(m);
+    return 0;
+}
+
+/* Encoder pass: final MVs -> mvd + P-Skip eligibility. */
+int64_t hl_compute_mvds_and_skip(
+    int32_t gw, int32_t gh, const int8_t *mb_kind, const int32_t *mv,
+    const int8_t *ref_idx, const int8_t *sub_types, const uint8_t *coded,
+    const int32_t *slice_id, int32_t *mvd_out, uint8_t *skip_out)
+{
+    MP *m = mp_create(gw, gh, slice_id);
+    for (int mby = 0; mby < gh; ++mby)
+        for (int mbx = 0; mbx < gw; ++mbx) {
+            int kind = mb_kind[mby * gw + mbx];
+            int x4 = mbx * 4, y4 = mby * 4;
+            int64_t mb = (int64_t)mby * gw + mbx;
+            const int32_t *mv_mb = mv + mb * 32;
+            if (kind < 3) { mp_assign(m, x4, y4, 4, 4, 0, 0, -1); continue; }
+            if (kind == 4) {                    /* 16x16 */
+                int mx_ = mv_mb[0], my_ = mv_mb[1];
+                int ref = ref_idx[mb * 4];
+                if (ref == 0 && !coded[mb]) {
+                    int sx, sy;
+                    mp_pskip(m, mbx, mby, &sx, &sy);
+                    if (sx == mx_ && sy == my_)
+                        skip_out[mb] = 1;
+                }
+                {
+                    int px, py;
+                    mp_predict(m, x4, y4, 4, 4, ref, mbx, mby, SH_16X16,
+                               &px, &py);
+                    for (int i = 0; i < 16; ++i) {
+                        mvd_out[(mb * 16 + i) * 2] = mx_ - px;
+                        mvd_out[(mb * 16 + i) * 2 + 1] = my_ - py;
+                    }
+                }
+                mp_assign(m, x4, y4, 4, 4, mx_, my_, ref);
+            } else if (kind == 5 || kind == 6) {
+                int g[2][8];
+                int np = part_geom(kind, g);
+                for (int p = 0; p < np; ++p) {
+                    int shape = g[p][0], slot = g[p][1];
+                    int ox = g[p][2], oy = g[p][3];
+                    int w4 = g[p][4], h4 = g[p][5];
+                    int iy = g[p][6], ix = g[p][7];
+                    int ref = ref_idx[mb * 4 + slot];
+                    int mx_ = mv_mb[(iy * 4 + ix) * 2];
+                    int my_ = mv_mb[(iy * 4 + ix) * 2 + 1];
+                    int px, py;
+                    mp_predict(m, x4 + ox, y4 + oy, w4, h4, ref, mbx, mby,
+                               shape, &px, &py);
+                    mvd_out[((mb * 4 + iy) * 4 + ix) * 2] = mx_ - px;
+                    mvd_out[((mb * 4 + iy) * 4 + ix) * 2 + 1] = my_ - py;
+                    mp_assign(m, x4 + ox, y4 + oy, w4, h4, mx_, my_, ref);
+                }
+            } else {                            /* P_8x8 */
+                for (int part = 0; part < 4; ++part) {
+                    int py0 = (part >> 1) * 2, px0 = (part & 1) * 2;
+                    int ref = ref_idx[mb * 4 + part];
+                    int st = sub_types[mb * 4 + part];
+                    int sg[4][4];
+                    int ns = sub_geom(st, sg);
+                    for (int s = 0; s < ns; ++s) {
+                        int ox = sg[s][0], oy = sg[s][1];
+                        int w4 = sg[s][2], h4 = sg[s][3];
+                        int gx = x4 + px0 + ox, gy = y4 + py0 + oy;
+                        int mx_ = mv_mb[((py0 + oy) * 4 + px0 + ox) * 2];
+                        int my_ = mv_mb[((py0 + oy) * 4 + px0 + ox) * 2
+                                        + 1];
+                        int px, py;
+                        mp_predict(m, gx, gy, w4, h4, ref, mbx, mby,
+                                   SH_16X16, &px, &py);
+                        mvd_out[((mb * 4 + py0 + oy) * 4 + px0 + ox) * 2]
+                            = mx_ - px;
+                        mvd_out[((mb * 4 + py0 + oy) * 4 + px0 + ox) * 2
+                                + 1] = my_ - py;
+                        mp_assign(m, gx, gy, w4, h4, mx_, my_, ref);
+                    }
+                }
+            }
+        }
+    mp_free(m);
+    return 0;
+}
