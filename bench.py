@@ -1,25 +1,32 @@
-"""Benchmark: end-to-end encode+decode frames/s on the current chip.
+"""Benchmark: encode/decode frames/s on the current chip, CIF headline +
+resolution matrix.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "matrix"}.
 
-Baseline: the reference (allweax/hartallo) measured on this container's x86
-CPU, single thread, SIMD intrinsics build (BASELINE_MEASURED.md): CIF
-encode 14.6 fps + decode 909 fps -> combined 1/(1/14.6 + 1/909) = 14.37
-fps for the encode+decode loop benched here.
+Baselines: the reference (allweax/hartallo) measured on this container's
+x86 CPU, single thread, SIMD intrinsics build (BASELINE_MEASURED.md):
+  CIF   encode 14.6 fps   decode 909 fps   -> combined 14.37 fps
+  720p  encode 2.86 fps   decode 56.2 fps
+  1080p reference encoder/decoder cannot run this size (no baseline)
 """
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
-W, H, NF = 352, 288, 8
 QP = 30
-BASELINE_COMBINED_FPS = 14.37
+BASELINES = {                        # (encode_fps, decode_fps) reference x86
+    "cif": (14.6, 909.0),
+    "720p": (2.86, 56.2),
+    "1080p": (None, None),
+}
+SIZES = {"cif": (352, 288, 16), "720p": (1280, 720, 8),
+         "1080p": (1920, 1080, 8)}
+BASELINE_COMBINED_CIF = 14.37
 
 
-def make_clip():
+def make_clip(W, H, NF):
     rng = np.random.default_rng(2)
     frames = []
     x = np.arange(W)[None, :]
@@ -38,35 +45,62 @@ def make_clip():
     return frames
 
 
-def main():
+def bench_one(W, H, NF):
     from hartallo_tpu.api import Codec, CodecConfig
 
-    clip = make_clip()
+    clip = make_clip(W, H, NF)
 
     def run(frames):
         enc = Codec(CodecConfig(width=W, height=H, qp=QP, gop_size=NF,
                                 deblock=True, me_range=12))
-        stream = b""
         t0 = time.perf_counter()
-        for f in frames:
-            r = enc.encode(f, W, H)
-            stream += r.headers + r.data
+        results = enc.encode_frames(frames, W, H)
+        stream = b"".join(r.headers + r.data for r in results)
         t_enc = time.perf_counter() - t0
         dec = Codec(CodecConfig())
         t0 = time.perf_counter()
-        results = dec.decode_annexb(stream)
+        out = dec.decode_annexb(stream)
         t_dec = time.perf_counter() - t0
-        assert len(results) == len(frames)
+        assert len(out) == len(frames)
         return t_enc, t_dec
 
     run(clip[:2])                      # warmup (jit compiles)
     t_enc, t_dec = run(clip)
-    fps = NF / (t_enc + t_dec)
+    return NF / t_enc, NF / t_dec
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    matrix = {}
+    for name, (W, H, NF) in SIZES.items():
+        try:
+            enc_fps, dec_fps = bench_one(W, H, NF)
+        except Exception as e:                      # record, don't die
+            matrix[name] = {"error": str(e)[:200]}
+            continue
+        be, bd = BASELINES[name]
+        matrix[name] = {
+            "encode_fps": round(enc_fps, 2),
+            "decode_fps": round(dec_fps, 2),
+            "encode_vs_ref": round(enc_fps / be, 3) if be else None,
+            "decode_vs_ref": round(dec_fps / bd, 3) if bd else None,
+        }
+
+    cif = matrix.get("cif", {})
+    if "encode_fps" in cif:
+        combined = 1.0 / (1.0 / cif["encode_fps"] + 1.0 / cif["decode_fps"])
+    else:
+        combined = 0.0
     print(json.dumps({
         "metric": "cif_encode_decode_fps",
-        "value": round(fps, 3),
+        "value": round(combined, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_COMBINED_FPS, 4),
+        "vs_baseline": round(combined / BASELINE_COMBINED_CIF, 4),
+        "matrix": matrix,
     }))
 
 

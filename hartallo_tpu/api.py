@@ -36,6 +36,7 @@ class CodecConfig:
     dqid_min: int = -1                       # SVC decode window
     dqid_max: int = -1
     entropy: str = "cavlc"                   # reference supports CAVLC only
+    poc_type: int = 2                        # pic_order_cnt_type (0/1/2)
     # SVC spatial layers: list of (width, height); empty = plain AVC
     layers: List[Tuple[int, int]] = field(default_factory=list)
 
@@ -50,6 +51,7 @@ class DecodeResult:
     width: int = 0
     height: int = 0
     dqid: int = 0
+    poc: int = 0                             # picture order count (8.2.1)
 
     @property
     def has_frame(self) -> bool:
@@ -110,12 +112,13 @@ class Codec:
         return self._decoder.decode_nal(nal)
 
     def decode_annexb(self, data: bytes) -> List[DecodeResult]:
-        results = []
-        for s, e in Parser.find_nal_units(data):
-            r = self.decode(data[s:e])
-            if r.has_frame:
-                results.append(r)
-        return results
+        """Whole-stream decode: the device pipeline runs ahead of the host
+        parser (frames fetched in bulk at the end)."""
+        if self._decoder is None:
+            from hartallo_tpu.decode.decoder import Decoder
+            self._decoder = Decoder(dqid_min=self.config.dqid_min,
+                                    dqid_max=self.config.dqid_max)
+        return self._decoder.decode_annexb(data)
 
     # -- encode -----------------------------------------------------------
     def encode(self, frame: np.ndarray, width: int = 0,
@@ -129,3 +132,21 @@ class Codec:
                 self._encoder = Encoder(self.config)
         return self._encoder.encode_frame(frame, width or self.config.width,
                                           height or self.config.height)
+
+    def encode_frames(self, frames, width: int = 0,
+                      height: int = 0) -> List[EncodeResult]:
+        """Pipelined multi-frame encode (device work for frame n+1 overlaps
+        host entropy packing of frame n)."""
+        if self._encoder is None:
+            self.encode  # noqa: B018 — touch to document laziness
+            if len(self.config.layers) >= 2:
+                from hartallo_tpu.encode.svc import SvcEncoder
+                self._encoder = SvcEncoder(self.config)
+            else:
+                from hartallo_tpu.encode.encoder import Encoder
+                self._encoder = Encoder(self.config)
+        w = width or self.config.width
+        h = height or self.config.height
+        if hasattr(self._encoder, "encode_frames"):
+            return self._encoder.encode_frames(frames, w, h)
+        return [self._encoder.encode_frame(f, w, h) for f in frames]

@@ -24,6 +24,7 @@ from hartallo_tpu.decode.intra_recon import (PAD, availability_masks,
                                              intra_reconstruct,
                                              wavefront_schedule)
 from hartallo_tpu.decode.params import (PPS, SPS, parse_subset_sps)
+from hartallo_tpu.decode.poc import PocDecoder
 from hartallo_tpu.decode.slice_decode import (MB_I16, MB_I4X4, MB_IBL,
                                               MB_PCM, SliceData,
                                               SliceDecoder)
@@ -38,7 +39,32 @@ class _Layer:
         self.hdr: Optional[SliceHeader] = None
         self.nal: Optional[N.NalHeader] = None
         self.dpb = DPB()
+        self.poc = PocDecoder()
         self.last_recon: Optional[Tuple[np.ndarray, ...]] = None
+
+
+class PendingFrame:
+    """Deferred device->host fetch of a decoded frame (lets the device
+    pipeline run ahead of the host across frames — the decode analog of
+    the encoder's async GOP pipeline)."""
+
+    def __init__(self, out_u8, gw: int, gh: int):
+        self.out_u8 = out_u8
+        self.gw, self.gh = gw, gh
+        try:
+            out_u8.copy_to_host_async()
+        except Exception:
+            pass
+
+    def resolve(self) -> np.ndarray:
+        from hartallo_tpu.decode.d_fused import split_out_u8
+        return split_out_u8(np.asarray(self.out_u8), self.gw, self.gh)
+
+
+def _materialize(result: DecodeResult) -> DecodeResult:
+    if isinstance(result.frame, PendingFrame):
+        result.frame = result.frame.resolve()
+    return result
 
 
 class Decoder:
@@ -57,6 +83,21 @@ class Decoder:
 
     # ------------------------------------------------------------------
     def decode_nal(self, nal_bytes: bytes) -> DecodeResult:
+        """Decode one NAL synchronously (frame fetched before return)."""
+        return _materialize(self.decode_nal_deferred(nal_bytes))
+
+    def decode_annexb(self, data: bytes):
+        """Decode a whole Annex-B stream with the device pipeline running
+        ahead of the host (frames fetched once at the end)."""
+        from hartallo_tpu.bitio import find_nal_units
+        results = []
+        for s0, e0 in find_nal_units(data):
+            r = self.decode_nal_deferred(data[s0:e0])
+            if r.frame is not None:
+                results.append(r)
+        return [_materialize(r) for r in results]
+
+    def decode_nal_deferred(self, nal_bytes: bytes) -> DecodeResult:
         r = BitReader(strip_emulation_prevention(nal_bytes))
         hdr = N.parse_nal_header(r)
         if hdr.type == N.NAL_SPS:
@@ -121,21 +162,95 @@ class Decoder:
         dec.decode_slice_data(r, sh, svc_inter_layer=svc_il)
 
         if (sd.mb_kind >= 0).all():
-            frame = self._reconstruct(sps, pps, layer.hdr, layer.nal, sd,
-                                      layer, dqid)
+            frame, poc = self._reconstruct(sps, pps, layer.hdr, layer.nal,
+                                           sd, layer, dqid)
             layer.cur = None
             if self.dqid_min >= 0 and dqid < self.dqid_min:
                 return DecodeResult()
             if self.dqid_max >= 0 and dqid > self.dqid_max:
                 return DecodeResult()
             return DecodeResult(frame=frame, width=sps.width,
-                                height=sps.height, dqid=dqid)
+                                height=sps.height, dqid=dqid, poc=poc)
         return DecodeResult()
 
     # ------------------------------------------------------------------
     def _reconstruct(self, sps: SPS, pps: PPS, sh: SliceHeader,
                      nh: N.NalHeader, sd: SliceData, layer: _Layer,
-                     dqid: int) -> np.ndarray:
+                     dqid: int):
+        has_pcm = bool((sd.mb_kind == MB_PCM).any())
+        has_ibl = bool((sd.mb_kind == MB_IBL).any())
+        if not has_pcm and not has_ibl:
+            return self._reconstruct_fused(sps, pps, sh, nh, sd, layer)
+        return self._reconstruct_general(sps, pps, sh, nh, sd, layer, dqid)
+
+    # ------------------------------------------------------------------
+    def _reconstruct_fused(self, sps: SPS, pps: PPS, sh: SliceHeader,
+                           nh: N.NalHeader, sd: SliceData,
+                           layer: _Layer) -> "PendingFrame":
+        """Fast path: whole-frame fused device program, one packed upload,
+        one (deferred) fetch.  Covers AVC I/P frames without I_PCM/I_BL."""
+        from hartallo_tpu.decode.d_fused import (decode_frame_fused,
+                                                 pack_slice_arrays)
+        gw, gh = sd.gw, sd.gh
+        has_inter = bool(((sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)).any())
+        dummy = jnp.zeros((1, 1, 1), jnp.int32)
+        ry = ru = rv = dummy
+        if has_inter:
+            from hartallo_tpu.decode.mv import derive_mvs
+            derive_mvs(sd)
+            reflist = layer.dpb.ref_list_p(
+                sh.frame_num, sps.max_frame_num,
+                mods=sh.ref_pic_list_mods_l0,
+                num_active=sh.num_ref_idx_l0_active_minus1 + 1)
+            if not reflist:
+                raise ValueError("P slice without reference frames")
+            ry = jnp.stack([fr.planes_pad[0] for fr in reflist])
+            ru = jnp.stack([fr.planes_pad[1] for fr in reflist])
+            rv = jnp.stack([fr.planes_pad[2] for fr in reflist])
+
+        mb_is_inter = (sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)
+        al, at = availability_masks(sd.slice_id,
+                                    bool(pps.constrained_intra_pred_flag),
+                                    mb_is_inter)
+        deblock = bool((sd.deblock_idc != 1).any())
+        idc = sd.deblock_idc.astype(np.int32)
+        filter_internal = idc != 1
+        same_l = np.zeros((gh, gw), bool)
+        same_t = np.zeros((gh, gw), bool)
+        same_l[:, 1:] = sd.slice_id[:, 1:] == sd.slice_id[:, :-1]
+        same_t[1:, :] = sd.slice_id[1:, :] == sd.slice_id[:-1, :]
+        has_l = np.zeros((gh, gw), bool)
+        has_l[:, 1:] = True
+        has_t = np.zeros((gh, gw), bool)
+        has_t[1:, :] = True
+        fmb_v = filter_internal & has_l & ((idc != 2) | same_l)
+        fmb_h = filter_internal & has_t & ((idc != 2) | same_t)
+
+        packed = pack_slice_arrays(sd, al, at, fmb_v, fmb_h,
+                                   filter_internal)
+        out_u8, padY, padU, padV = decode_frame_fused(
+            jnp.asarray(packed), ry, ru, rv, gw=gw, gh=gh,
+            has_inter=has_inter,
+            chroma_qp_off=pps.chroma_qp_index_offset, deblock=deblock)
+
+        pending = PendingFrame(out_u8, gw, gh)
+        layer.last_recon = pending          # IBL upsample resolves lazily
+        layer.dpb.max_refs = sps.max_num_ref_frames
+        mmco5 = any(m.op == 5 for m in (sh.mmcos or []))
+        poc = layer.poc.compute(sps, sh, nh.ref_idc, nh.is_idr, mmco5)
+        if nh.ref_idc != 0:
+            layer.dpb.add(Frame(frame_num=sh.frame_num, poc=poc,
+                                planes_pad=(padY, padU, padV)),
+                          mmcos=sh.mmcos or None,
+                          idr=nh.is_idr,
+                          long_term_reference_flag=sh
+                          .long_term_reference_flag)
+        return pending, poc
+
+    # ------------------------------------------------------------------
+    def _reconstruct_general(self, sps: SPS, pps: PPS, sh: SliceHeader,
+                             nh: N.NalHeader, sd: SliceData, layer: _Layer,
+                             dqid: int) -> np.ndarray:
         from hartallo_tpu.decode.d_device import (crop_to_host,
                                                   decode_frame_pre,
                                                   edge_pad_device)
@@ -169,7 +284,15 @@ class Decoder:
             base = self.layers.get(base_dqid)
             if base is None or base.last_recon is None:
                 raise ValueError("I_BL without decoded base layer")
-            by, bu, bv = base.last_recon
+            if isinstance(base.last_recon, PendingFrame):
+                pf = base.last_recon
+                flat = pf.resolve()
+                bw, bh = pf.gw * 16, pf.gh * 16
+                by = flat[:bw * bh].reshape(bh, bw)
+                bu = flat[bw * bh:bw * bh * 5 // 4].reshape(bh // 2, bw // 2)
+                bv = flat[bw * bh * 5 // 4:].reshape(bh // 2, bw // 2)
+            else:
+                by, bu, bv = base.last_recon
             up_y = upsample_plane(jnp.asarray(by.astype(np.int32)), H, W)
             up_u = upsample_plane(jnp.asarray(bu.astype(np.int32)),
                                   H // 2, W // 2, chroma=True)
@@ -209,11 +332,6 @@ class Decoder:
                                     bool(pps.constrained_intra_pred_flag),
                                     mb_is_inter)
 
-        key = (gw, gh)
-        if key not in self._sched_cache:
-            self._sched_cache[key] = jnp.asarray(wavefront_schedule(gw, gh))
-        sched = self._sched_cache[key]
-
         kind_dev = jnp.asarray(np.where(sd.mb_kind == MB_I4X4, 0,
                                         np.where(sd.mb_kind == MB_I16, 1,
                                                  2)).astype(np.int32))
@@ -223,10 +341,10 @@ class Decoder:
             jnp.asarray(sd.i16_mode, jnp.int32),
             jnp.asarray(sd.i4_modes, jnp.int32),
             jnp.asarray(sd.chroma_mode, jnp.int32),
-            jnp.asarray(al), jnp.asarray(at), sched, gw=gw, gh=gh)
+            jnp.asarray(al), jnp.asarray(at), gw=gw, gh=gh)
 
         if (sd.deblock_idc != 1).any():
-            pY, pU, pV = self._deblock(sps, pps, sd, (pY, pU, pV), sched)
+            pY, pU, pV = self._deblock(sps, pps, sd, (pY, pU, pV))
 
         y = np.asarray(crop_to_host(pY))
         u = np.asarray(crop_to_host(pU))
@@ -234,20 +352,22 @@ class Decoder:
         layer.last_recon = (y, u, v)
 
         layer.dpb.max_refs = sps.max_num_ref_frames
+        mmco5 = any(m.op == 5 for m in (sh.mmcos or []))
+        poc = layer.poc.compute(sps, sh, nh.ref_idc, nh.is_idr, mmco5)
         if nh.ref_idc != 0:
             planes_pad = (edge_pad_device(pY), edge_pad_device(pU),
                           edge_pad_device(pV))
-            layer.dpb.add(Frame(frame_num=sh.frame_num, poc=0,
+            layer.dpb.add(Frame(frame_num=sh.frame_num, poc=poc,
                                 planes_pad=planes_pad),
                           mmcos=sh.mmcos or None,
                           idr=nh.is_idr,
                           long_term_reference_flag=sh.long_term_reference_flag)
 
         frame = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
-        return frame
+        return frame, poc
 
     # ------------------------------------------------------------------
-    def _deblock(self, sps: SPS, pps: PPS, sd: SliceData, planes, sched):
+    def _deblock(self, sps: SPS, pps: PPS, sd: SliceData, planes):
         from hartallo_tpu.core.tables import QP_SCALE_CHROMA
         from hartallo_tpu.ops.deblock import compute_bs, deblock_frame
 
@@ -292,4 +412,4 @@ class Decoder:
             jnp.asarray(qpc), jnp.asarray(qpc_l), jnp.asarray(qpc_t),
             jnp.asarray(sd.alpha_off, jnp.int32),
             jnp.asarray(sd.beta_off, jnp.int32),
-            sched, gw=gw, gh=gh)
+            gw=gw, gh=gh)

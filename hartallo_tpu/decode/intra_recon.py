@@ -20,6 +20,9 @@ import numpy as np
 from hartallo_tpu.core.tables import (LUMA_4x4_BLK_IDX, LUMA_4x4_BLK_XY,
                                       QP_SCALE_CHROMA)
 from hartallo_tpu.ops.intra import pred16x16_all, pred4x4_all, pred_chroma_all
+from hartallo_tpu.ops.wavefront import (plane_to_tiles, shift_k, skew,
+                                        skew_geometry, tiles_to_plane,
+                                        unskew)
 from hartallo_tpu.ops.transform import (chroma_dc_descale, dequant_4x4,
                                         inverse_transform_4x4,
                                         luma_dc_descale_intra16)
@@ -108,12 +111,41 @@ def wavefront_schedule(gw: int, gh: int):
 
 
 # ---------------------------------------------------------------------------
-# The wavefront scan
+# The wavefront scan (skewed-diagonal layout, see ops/wavefront.py)
 # ---------------------------------------------------------------------------
+
+def _neighbor_tile17x25(cur, r1, r2, r3):
+    """Build the (K,17,25) bordered tile from the skewed carry rows.
+
+    cur (K,16,16) current base tile; r1/r2/r3 = recon rows d-1/d-2/d-3.
+    Border row -1 = [top-left corner, top bottom row, top-right bottom row
+    first 8]; border col -1 = left MB's right column."""
+    K = cur.shape[0]
+    top = shift_k(r2)                       # (d-2, k-1)
+    tr = shift_k(r1)                        # (d-1, k-1)
+    tl = shift_k(r3)                        # (d-3, k-1)
+    row_m1 = jnp.concatenate(
+        [tl[:, 15, 15:16], top[:, 15, :], tr[:, 15, 0:8]], axis=1)  # (K,25)
+    left_col = r1[:, :, 15]                 # (K,16)
+    body = jnp.concatenate([left_col[:, :, None], cur,
+                            jnp.zeros((K, 16, 8), cur.dtype)], axis=2)
+    return jnp.concatenate([row_m1[:, None, :], body], axis=1)  # (K,17,25)
+
+
+def _neighbor_tile9x9(cur, r1, r2, r3):
+    """Chroma analog: (K,9,9) bordered tile from 8x8 carry rows."""
+    K = cur.shape[0]
+    top = shift_k(r2)
+    tl = shift_k(r3)
+    row_m1 = jnp.concatenate([tl[:, 7, 7:8], top[:, 7, :]], axis=1)  # (K,9)
+    left_col = r1[:, :, 7]
+    body = jnp.concatenate([left_col[:, :, None], cur], axis=2)
+    return jnp.concatenate([row_m1[:, None, :], body], axis=1)
+
 
 @partial(jax.jit, static_argnames=("gw", "gh"))
 def intra_reconstruct(planes, res_y, res_c, mb_kind, i16_mode, i4_modes,
-                      chroma_mode, avail_left, avail_top, schedule,
+                      chroma_mode, avail_left, avail_top,
                       *, gw: int, gh: int):
     """Run the intra wavefront; returns updated padded planes.
 
@@ -121,62 +153,59 @@ def intra_reconstruct(planes, res_y, res_c, mb_kind, i16_mode, i4_modes,
       pre-filled with inter/PCM pixels and boundary padding.
     mb_kind: (gh,gw) int32 — 0=I4x4, 1=I16, others untouched.
     avail_*: (gh,gw) bool (same-slice neighbor availability).
-    schedule: (D, M, 2) int32 from wavefront_schedule.
     """
     padY, padU, padV = planes
-    D, M, _ = schedule.shape
+    H, W = gh * 16, gw * 16
+    geo = skew_geometry(gw, gh)
+    D, K = geo["D"], geo["K"]
+    valid = jnp.asarray(geo["valid"])
+    sk = lambda a: skew(a, geo)                              # noqa: E731
 
-    def step(carry, sched_d):
-        pY, pU, pV = carry
-        my = sched_d[:, 0]
-        mx = sched_d[:, 1]
-        valid = my >= 0
-        myc = jnp.maximum(my, 0)
-        mxc = jnp.maximum(mx, 0)
-        flat = myc * gw + mxc
+    ty = sk(plane_to_tiles(
+        jax.lax.dynamic_slice(padY, (PAD, PAD), (H, W)), 16))
+    tu = sk(plane_to_tiles(
+        jax.lax.dynamic_slice(padU, (PAD, PAD), (H // 2, W // 2)), 8))
+    tv = sk(plane_to_tiles(
+        jax.lax.dynamic_slice(padV, (PAD, PAD), (H // 2, W // 2)), 8))
 
-        kind = mb_kind.reshape(-1)[flat]
-        is_i4 = (kind == 0) & valid
-        is_i16 = (kind == 1) & valid
+    xs = (ty, tu, tv, sk(res_y), sk(res_c),
+          jnp.where(valid, sk(mb_kind), -1),
+          sk(i16_mode), sk(i4_modes), sk(chroma_mode),
+          jnp.where(valid, sk(avail_left), False),
+          jnp.where(valid, sk(avail_top), False),
+          jnp.where(valid, jnp.asarray(geo["mx_of"]), -1))
+
+    def step(carry, x):
+        r1y, r2y, r3y, r1u, r2u, r3u, r1v, r2v, r3v = carry
+        cy, cu, cv, resy, resc, kind, i16m, i4m, cm, al, at, mxs = x
+
+        is_i4 = kind == 0
+        is_i16 = kind == 1
         is_intra = is_i4 | is_i16
-        al = avail_left.reshape(-1)[flat]
-        at = avail_top.reshape(-1)[flat]
-        i16m = i16_mode.reshape(-1)[flat]
-        i4m = i4_modes.reshape(-1, 16)[flat]
-        cm = chroma_mode.reshape(-1)[flat]
-        resy = res_y.reshape(-1, 16, 16)[flat]
-        resc = res_c.reshape(-1, 2, 8, 8)[flat]
 
-        # write offsets: padded coords; invalid slots target the dead zone
-        oy = jnp.where(valid, PAD + myc * 16, 0)
-        ox = jnp.where(valid, PAD + mxc * 16, 0)
-
-        tile = jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(pY, (y - 1, x - 1), (17, 25))
-        )(oy, ox)                                          # (M,17,25)
-
-        interior0 = tile[:, 1:17, 1:17]
+        tile = _neighbor_tile17x25(cy, r1y, r2y, r3y)
+        interior0 = cy
 
         # ---- Intra4x4: 16 sequential sub-blocks --------------------------
         t4 = tile
-        at_edge = (mx == gw - 1)
+        at_edge = mxs == gw - 1
         for blk in range(16):
             x0, y0 = _BLK_X[blk] + 1, _BLK_Y[blk] + 1   # tile coords
-            top = t4[:, y0 - 1, x0:x0 + 8]               # (M,8)
-            left = t4[:, y0:y0 + 4, x0 - 1]              # (M,4)
+            top = t4[:, y0 - 1, x0:x0 + 8]               # (K,8)
+            left = t4[:, y0:y0 + 4, x0 - 1]              # (K,4)
             tl = t4[:, y0 - 1, x0 - 1]
             # top-right substitution
             if blk in _TR_NEVER:
-                sub = jnp.ones((M,), bool)
+                sub = jnp.ones_like(at_edge)
             elif blk == _TR_EDGE_BLK:
                 sub = at_edge
             else:
-                sub = jnp.zeros((M,), bool)
+                sub = jnp.zeros_like(at_edge)
             t3 = top[:, 3:4]
             top = jnp.where(sub[:, None] & (jnp.arange(8) >= 4), t3, top)
-            b_at = at if _BLK_Y[blk] == 0 else jnp.ones((M,), bool)
-            b_al = al if _BLK_X[blk] == 0 else jnp.ones((M,), bool)
-            bank = pred4x4_all(top, left, tl, b_at, b_al)  # (M,9,4,4)
+            b_at = at if _BLK_Y[blk] == 0 else jnp.ones_like(at)
+            b_al = al if _BLK_X[blk] == 0 else jnp.ones_like(al)
+            bank = pred4x4_all(top, left, tl, b_at, b_al)  # (K,9,4,4)
             mode = jnp.clip(i4m[:, blk].astype(jnp.int32), 0, 8)
             pred = jnp.take_along_axis(
                 bank, mode[:, None, None, None], axis=1)[:, 0]
@@ -196,19 +225,15 @@ def intra_reconstruct(planes, res_y, res_c, mb_kind, i16_mode, i4_modes,
             [:, None, None, None], axis=1)[:, 0]
         interior_i16 = jnp.clip(p16 + resy, 0, 255)
 
-        interior = jnp.where(is_i4[:, None, None], interior_i4,
-                             jnp.where(is_i16[:, None, None], interior_i16,
-                                       interior0))
-        pY = _scatter_tiles(pY, interior, oy, ox, 16)
+        new_y = jnp.where(is_i4[:, None, None], interior_i4,
+                          jnp.where(is_i16[:, None, None], interior_i16,
+                                    interior0))
 
         # ---- chroma (both intra kinds share the chroma mode) -------------
-        oyc = jnp.where(valid, PAD + myc * 8, 0)
-        oxc = jnp.where(valid, PAD + mxc * 8, 0)
-        for plane_idx, p in ((0, pU), (1, pV)):
-            ctile = jax.vmap(
-                lambda y, x, pp=p: jax.lax.dynamic_slice(
-                    pp, (y - 1, x - 1), (9, 9))
-            )(oyc, oxc)
+        new_c = []
+        for plane_idx, (cc, r1, r2, r3) in (
+                (0, (cu, r1u, r2u, r3u)), (1, (cv, r1v, r2v, r3v))):
+            ctile = _neighbor_tile9x9(cc, r1, r2, r3)
             topc = ctile[:, 0, 1:9]
             leftc = ctile[:, 1:9, 0]
             tlc = ctile[:, 0, 0]
@@ -217,29 +242,24 @@ def intra_reconstruct(planes, res_y, res_c, mb_kind, i16_mode, i4_modes,
                 bankc, jnp.clip(cm, 0, 3).astype(jnp.int32)
                 [:, None, None, None], axis=1)[:, 0]
             recc = jnp.clip(pc + resc[:, plane_idx], 0, 255)
-            intc = jnp.where(is_intra[:, None, None], recc,
-                             ctile[:, 1:9, 1:9])
-            newp = _scatter_tiles(p, intc, oyc, oxc, 8)
-            if plane_idx == 0:
-                pU = newp
-            else:
-                pV = newp
-        return (pY, pU, pV), None
+            new_c.append(jnp.where(is_intra[:, None, None], recc, cc))
+        new_u, new_v = new_c
 
-    (padY, padU, padV), _ = jax.lax.scan(step, (padY, padU, padV), schedule)
+        new_carry = (new_y, r1y, r2y, new_u, r1u, r2u, new_v, r1v, r2v)
+        return new_carry, (new_y, new_u, new_v)
+
+    zy = jnp.zeros((K, 16, 16), jnp.int32)
+    zc = jnp.zeros((K, 8, 8), jnp.int32)
+    init = (zy, zy, zy, zc, zc, zc, zc, zc, zc)
+    _, (oy, ou, ov) = jax.lax.scan(step, init, xs)
+
+    newY = tiles_to_plane(unskew(oy, geo))
+    newU = tiles_to_plane(unskew(ou, geo))
+    newV = tiles_to_plane(unskew(ov, geo))
+    padY = jax.lax.dynamic_update_slice(padY, newY, (PAD, PAD))
+    padU = jax.lax.dynamic_update_slice(padU, newU, (PAD, PAD))
+    padV = jax.lax.dynamic_update_slice(padV, newV, (PAD, PAD))
     return padY, padU, padV
-
-
-def _scatter_tiles(plane, tiles, oy, ox, size):
-    def write(p, t, y, x):
-        return jax.lax.dynamic_update_slice(p, t, (y, x))
-
-    def body(p, args):
-        t, y, x = args
-        return write(p, t, y, x), None
-
-    plane, _ = jax.lax.scan(body, plane, (tiles, oy, ox))
-    return plane
 
 
 # ---------------------------------------------------------------------------

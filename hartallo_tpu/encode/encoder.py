@@ -16,7 +16,7 @@ import numpy as np
 from hartallo_tpu.api import CodecConfig, EncodeResult
 from hartallo_tpu.bitio import BitWriter, insert_emulation_prevention
 from hartallo_tpu.decode import nal as N
-from hartallo_tpu.decode.intra_recon import PAD, wavefront_schedule
+from hartallo_tpu.decode.intra_recon import PAD
 from hartallo_tpu.decode.params import PPS, SPS
 from hartallo_tpu.decode.sliceheader import SliceHeader, write_slice_header
 from hartallo_tpu.encode.intra_encode import intra_encode_frame
@@ -53,16 +53,25 @@ class Encoder:
         self._ref_planes = None      # deblocked recon (padded) for P frames
         self._headers = b""
         self._rc = None              # JVT-G012 controller when rc enabled
+        self._poc_cnt = 0            # frames since IDR (POC/2 for types 0/1)
 
     # ------------------------------------------------------------------
     def _setup(self, width: int, height: int) -> None:
         gw, gh = (width + 15) // 16, (height + 15) // 16
         sps = SPS(profile_idc=66, constraint_set_flags=0x40,
                   level_idc=_guess_level(width, height),
-                  log2_max_frame_num_minus4=4, pic_order_cnt_type=2,
+                  log2_max_frame_num_minus4=4,
+                  pic_order_cnt_type=self.cfg.poc_type,
                   max_num_ref_frames=1,
                   pic_width_in_mbs_minus1=gw - 1,
                   pic_height_in_map_units_minus1=gh - 1)
+        if sps.pic_order_cnt_type == 0:
+            sps.log2_max_pic_order_cnt_lsb_minus4 = 4
+        elif sps.pic_order_cnt_type == 1:
+            # POC = 2 * frames-since-IDR via a 1-entry ref cycle of +2,
+            # no per-slice deltas (8.2.1.2 expectedPicOrderCnt)
+            sps.delta_pic_order_always_zero_flag = 1
+            sps.offset_for_ref_frame = [2]
         if width % 16 or height % 16:
             sps.frame_cropping_flag = 1
             sps.frame_crop_right_offset = (gw * 16 - width) // 2
@@ -85,40 +94,40 @@ class Encoder:
     def encode_frame(self, frame: np.ndarray, width: int,
                      height: int) -> EncodeResult:
         """frame: packed I420 uint8 array/bytes of size w*h*3/2."""
+        return self.finish_frame(self.encode_frame_async(frame, width,
+                                                         height))
+
+    def encode_frames(self, frames, width: int, height: int):
+        """Pipelined GOP encode: device passes for frame n+1 are dispatched
+        (async) while the host is still fetching/CAVLC-packing frame n —
+        the TPU analog of the reference's encode-thread/bitstream-thread
+        overlap.  Returns a list of EncodeResults in order."""
+        if self.cfg.rc_bitrate and self.cfg.rc_bitrate > 0:
+            # rate control closes the loop through real packed bits:
+            # genuinely serial, frame at a time
+            return [self.encode_frame(f, width, height) for f in frames]
+        pend = [self.encode_frame_async(f, width, height) for f in frames]
+        return [self.finish_frame(p) for p in pend]
+
+    # ------------------------------------------------------------------
+    def encode_frame_async(self, frame, width: int, height: int):
+        """Dispatch the device half of one frame encode; the recon chain
+        stays on device so the next frame can be dispatched immediately.
+        Returns an opaque pending record for finish_frame."""
+        from hartallo_tpu.encode.e_device import (i_frame_fused,
+                                                  p_frame_fused, pack_src)
         if self.sps is None:
             self._setup(width, height)
         sps, pps = self.sps, self.pps
         gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
-        W, H = gw * 16, gh * 16
 
-        buf = np.frombuffer(bytes(frame), np.uint8) if not \
-            isinstance(frame, np.ndarray) else frame.ravel()
-        ysz = width * height
-        y = buf[:ysz].reshape(height, width).astype(np.int32)
-        u = buf[ysz:ysz + ysz // 4].reshape(height // 2,
-                                            width // 2).astype(np.int32)
-        v = buf[ysz + ysz // 4:ysz + ysz // 2].reshape(
-            height // 2, width // 2).astype(np.int32)
-        # pad source to MB multiple (edge replicate) then PAD border
-        y = np.pad(y, ((0, H - height), (0, W - width)), mode="edge")
-        u = np.pad(u, ((0, (H - height) // 2), (0, (W - width) // 2)),
-                   mode="edge")
-        v = np.pad(v, ((0, (H - height) // 2), (0, (W - width) // 2)),
-                   mode="edge")
-        srcY = jnp.asarray(np.pad(y, PAD, mode="edge"))
-        srcU = jnp.asarray(np.pad(u, PAD, mode="edge"))
-        srcV = jnp.asarray(np.pad(v, PAD, mode="edge"))
+        src_u8 = jnp.asarray(pack_src(frame, width, height, gw, gh))
 
         is_idr = self.gop_left <= 0 or self._ref_planes is None
         if is_idr:
             self.gop_left = max(self.cfg.gop_size, 1)
             self.frame_num = 0
         self.gop_left -= 1
-
-        key = (gw, gh)
-        if key not in self._sched_cache:
-            self._sched_cache[key] = jnp.asarray(wavefront_schedule(gw, gh))
-        sched = self._sched_cache[key]
 
         # rate control (JVT-G012 frame-level) or fixed QP
         if self.cfg.rc_bitrate and self.cfg.rc_bitrate > 0:
@@ -148,37 +157,97 @@ class Encoder:
             slice_id, False, np.zeros((gh, gw), bool))
 
         if is_idr:
-            recY, recU, recV, arrays = intra_encode_frame(
-                srcY, srcU, srcV, jnp.asarray(qp),
-                pps.chroma_qp_index_offset,
-                jnp.asarray(avail_l), jnp.asarray(avail_t), sched, lam,
-                gw=gw, gh=gh)
-            arrays = {k: np.asarray(val) for k, val in arrays.items()}
-            mb_kind = np.where(arrays["use_i16"] > 0, 1, 0).astype(np.int8)
-            payload = self._pack_slices(arrays, qp, mb_kind, ranges,
-                                        is_idr=True, is_p=False)
+            packed, mad, recY, recU, recV = i_frame_fused(
+                src_u8, jnp.asarray(qp), jnp.float32(lam),
+                jnp.asarray(avail_l), jnp.asarray(avail_t),
+                gw=gw, gh=gh, chroma_qp_off=pps.chroma_qp_index_offset,
+                deblock=bool(self.cfg.deblock))
         else:
-            recY, recU, recV, arrays, mb_kind, payload = \
-                self._encode_p(srcY, srcU, srcV, qp, lam, sched, gw, gh,
-                               ranges, slice_id)
-
-        # in-loop deblock of the recon for the DPB (matches the decoder)
-        if self.cfg.deblock:
-            recY, recU, recV = self._deblock_recon(
-                arrays, qp, mb_kind, (recY, recU, recV), sched, gw, gh)
+            refY, refU, refV = self._ref_planes
+            R = int(min(self.cfg.me_range, PAD - 8))
+            packed, mad, recY, recU, recV = p_frame_fused(
+                src_u8, refY, refU, refV, jnp.asarray(qp),
+                jnp.float32(lam), gw=gw, gh=gh, rng=R,
+                refine=self.cfg.me_range > 0,
+                chroma_qp_off=pps.chroma_qp_index_offset,
+                deblock=bool(self.cfg.deblock))
         self._ref_planes = (recY, recU, recV)
+        frame_num = self.frame_num
+        if is_idr:
+            self._poc_cnt = 0
+            self.idr_pic_id = (self.idr_pic_id + 1) % 16
+        poc_lsb = (2 * self._poc_cnt) % 256
+        self._poc_cnt += 1
         self.frame_num = (self.frame_num + 1) % sps.max_frame_num
         self.frame_idx += 1
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        return {"packed": packed, "mad": mad, "is_idr": is_idr,
+                "qp": qp, "qp_val": qp_val, "ranges": ranges,
+                "slice_id": slice_id, "gw": gw, "gh": gh,
+                "width": width, "height": height,
+                "frame_num": frame_num, "idr_pic_id": self.idr_pic_id,
+                "poc_lsb": poc_lsb}
+
+    # ------------------------------------------------------------------
+    def finish_frame(self, pend) -> EncodeResult:
+        """Host half: fetch the packed per-MB buffer (one transfer), run
+        MVD/skip derivation and the CAVLC slice packer."""
+        from hartallo_tpu.encode.e_device import (INTRA_FIELDS, P_FIELDS,
+                                                  unpack)
+        gw, gh = pend["gw"], pend["gh"]
+        qp, ranges = pend["qp"], pend["ranges"]
+        is_idr = pend["is_idr"]
+        buf = np.asarray(pend["packed"])
 
         if is_idr:
-            self.idr_pic_id = (self.idr_pic_id + 1) % 16
+            arrays = unpack(buf, INTRA_FIELDS, gh, gw)
+            mb_kind = np.where(arrays["use_i16"] > 0, 1, 0).astype(np.int8)
+            payload = self._pack_slices(arrays, qp, mb_kind, ranges,
+                                        is_idr=True, is_p=False,
+                                        frame_num=pend["frame_num"],
+                                        idr_pic_id=pend["idr_pic_id"],
+                                        poc_lsb=pend["poc_lsb"])
+        else:
+            from hartallo_tpu.decode.mv import compute_mvds_and_skip
+            from hartallo_tpu.decode.slice_decode import (
+                MB_P16X16, MB_P16X8, MB_P8X16, MB_P8X8)
+            arrays = unpack(buf, P_FIELDS, gh, gw)
+            choice_np = arrays["choice"]
+            mb_kind = np.select(
+                [choice_np == 0, choice_np == 1, choice_np == 2],
+                [MB_P16X16, MB_P16X8, MB_P8X16], MB_P8X8).astype(np.int8)
+            arrays.update({
+                "use_i16": np.zeros((gh, gw), np.int32),
+                "i16_mode": np.zeros((gh, gw), np.int32),
+                "i4_modes": np.zeros((gh, gw, 16), np.int32),
+                "chroma_mode": np.zeros((gh, gw), np.int32),
+                "luma_dc": np.zeros((gh, gw, 4, 4), np.int32),
+                "ref_idx": np.zeros((gh, gw, 4), np.int8),
+                "sub_types": np.zeros((gh, gw, 4), np.int8),
+            })
+            coded = (arrays["luma_ac"].any(axis=(-1, -2, -3)) |
+                     arrays["chroma_dc"].any(axis=(-1, -2, -3)) |
+                     arrays["chroma_ac"].any(axis=(-1, -2, -3, -4)))
+            mvd, skip_ok = compute_mvds_and_skip(
+                mb_kind, arrays["mv44"], arrays["ref_idx"],
+                arrays["sub_types"], coded, pend["slice_id"])
+            skip_ok &= mb_kind == MB_P16X16
+            payload = self._pack_slices(arrays, qp, mb_kind, ranges,
+                                        is_idr=False, is_p=True, mvd=mvd,
+                                        skip_ok=skip_ok,
+                                        frame_num=pend["frame_num"],
+                                        idr_pic_id=pend["idr_pic_id"],
+                                        poc_lsb=pend["poc_lsb"])
+
         headers = self._headers if is_idr else b""
         if self._rc is not None:
-            mad = float(jnp.mean(jnp.abs(
-                jax.lax.dynamic_slice(srcY, (PAD, PAD), (H, W)) -
-                jax.lax.dynamic_slice(recY, (PAD, PAD), (H, W)))))
+            npix = gh * gw * 256
+            mad = float(np.asarray(pend["mad"])) / npix
             bits = (len(payload) + len(headers)) * 8
-            self._rc.end_frame(qp_val, bits, mad, is_idr)
+            self._rc.end_frame(pend["qp_val"], bits, mad, is_idr)
         return EncodeResult(data=payload, headers=headers,
                             keyframe=is_idr)
 
@@ -195,17 +264,23 @@ class Encoder:
     # ------------------------------------------------------------------
     def _pack_one_slice(self, sid: int, r0: int, r1: int, arrays, qp,
                         mb_kind, *, is_idr: bool, is_p: bool,
-                        mvd=None, skip_ok=None) -> bytes:
+                        mvd=None, skip_ok=None, frame_num=None,
+                        idr_pic_id=None, poc_lsb=0) -> bytes:
         """Pack MB rows [r0, r1) as one independent slice NAL (the
         reference's per-slice bitstream design, hl_codec_264_encode.c)."""
         sps, pps = self.sps, self.pps
         gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+        if frame_num is None:
+            frame_num = self.frame_num
+        if idr_pic_id is None:
+            idr_pic_id = self.idr_pic_id
         hdr = SliceHeader(
             first_mb_in_slice=r0 * gw,
             slice_type=7 if not is_p else 5,   # all-slices-same convention
             pic_parameter_set_id=pps.pic_parameter_set_id,
-            frame_num=0 if is_idr else self.frame_num,
-            idr_pic_id=self.idr_pic_id if is_idr else 0,
+            frame_num=0 if is_idr else frame_num,
+            idr_pic_id=idr_pic_id if is_idr else 0,
+            pic_order_cnt_lsb=poc_lsb if sps.pic_order_cnt_type == 0 else 0,
             slice_qp_delta=int(qp[r0, 0]) - pps.pic_init_qp,
             disable_deblocking_filter_idc=0 if self.cfg.deblock else 1)
         w = BitWriter()
@@ -249,7 +324,8 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def _pack_slices(self, arrays, qp, mb_kind, ranges, *, is_idr: bool,
-                     is_p: bool, mvd=None, skip_ok=None) -> bytes:
+                     is_p: bool, mvd=None, skip_ok=None, frame_num=None,
+                     idr_pic_id=None, poc_lsb=0) -> bytes:
         """All slices of the frame; packed in parallel host workers when
         cfg.threads > 1 (the native packer releases the GIL)."""
         if len(ranges) > 1 and self.cfg.threads > 1:
@@ -259,17 +335,22 @@ class Encoder:
                 parts = list(ex.map(
                     lambda t: self._pack_one_slice(
                         t[0], t[1][0], t[1][1], arrays, qp, mb_kind,
-                        is_idr=is_idr, is_p=is_p, mvd=mvd, skip_ok=skip_ok),
+                        is_idr=is_idr, is_p=is_p, mvd=mvd, skip_ok=skip_ok,
+                        frame_num=frame_num, idr_pic_id=idr_pic_id,
+                        poc_lsb=poc_lsb),
                     enumerate(ranges)))
         else:
             parts = [self._pack_one_slice(sid, r0, r1, arrays, qp, mb_kind,
                                           is_idr=is_idr, is_p=is_p,
-                                          mvd=mvd, skip_ok=skip_ok)
+                                          mvd=mvd, skip_ok=skip_ok,
+                                          frame_num=frame_num,
+                                          idr_pic_id=idr_pic_id,
+                                          poc_lsb=poc_lsb)
                      for sid, (r0, r1) in enumerate(ranges)]
         return b"".join(parts)
 
     # ------------------------------------------------------------------
-    def _encode_p(self, srcY, srcU, srcV, qp, lam, sched, gw, gh,
+    def _encode_p(self, srcY, srcU, srcV, qp, lam, gw, gh,
                   ranges, slice_id):
         from hartallo_tpu.decode.mv import compute_mvds_and_skip
         from hartallo_tpu.decode.slice_decode import (MB_P16X16, MB_P16X8,
@@ -318,7 +399,7 @@ class Encoder:
         return recY, recU, recV, arrays, mb_kind, payload
 
     # ------------------------------------------------------------------
-    def _deblock_recon(self, arrays, qp, mb_kind, planes, sched, gw, gh):
+    def _deblock_recon(self, arrays, qp, mb_kind, planes, gw, gh):
         from hartallo_tpu.core.tables import QP_SCALE_CHROMA
         from hartallo_tpu.ops.deblock import compute_bs, deblock_frame
 
@@ -366,7 +447,7 @@ class Encoder:
             planes, bs_v, bs_h,
             jnp.asarray(qp), jnp.asarray(qp_l), jnp.asarray(qp_t),
             jnp.asarray(qpc), jnp.asarray(qpc_l), jnp.asarray(qpc_t),
-            jnp.asarray(zeros), jnp.asarray(zeros), sched, gw=gw, gh=gh)
+            jnp.asarray(zeros), jnp.asarray(zeros), gw=gw, gh=gh)
 
 
 def _planes_from_mbs(mbs: np.ndarray) -> np.ndarray:

@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from hartallo_tpu.core.tables import LUMA_4x4_BLK_XY, QP_SCALE_CHROMA
-from hartallo_tpu.decode.intra_recon import PAD
+from hartallo_tpu.decode.intra_recon import (PAD, _neighbor_tile17x25,
+                                             _neighbor_tile9x9)
+from hartallo_tpu.ops.wavefront import (plane_to_tiles, skew, skew_geometry,
+                                        tiles_to_plane, unskew)
 from hartallo_tpu.ops.intra import pred16x16_all, pred4x4_all, pred_chroma_all
 from hartallo_tpu.ops.transform import (
     chroma_dc_descale, dequant_4x4, forward_dct_4x4,
@@ -43,64 +46,53 @@ def _blocks_of_mb(mb16: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("gw", "gh"))
 def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
-                       avail_left, avail_top, schedule, lam,
+                       avail_left, avail_top, lam,
                        *, gw: int, gh: int):
     """Encode every MB of a frame as intra (I frame path).
 
     src_*: PAD-padded int32 source planes.  qp (gh,gw) int32.
     lam: scalar float32 lambda for the SAD+lambda*bits mode cost.
     Returns dict of per-MB arrays + recon padded planes.
-    """
-    D, M, _ = schedule.shape
+
+    Skewed-diagonal wavefront (ops/wavefront.py): one scan step processes
+    a whole anti-diagonal of MBs; the carry holds the last three recon
+    diagonal rows (the neighbours intra prediction needs)."""
+    H, W = gh * 16, gw * 16
+    geo = skew_geometry(gw, gh)
+    D, K = geo["D"], geo["K"]
+    valid = jnp.asarray(geo["valid"])
+    sk = lambda a: skew(a, geo)                              # noqa: E731
     qpc = _J_QPC[jnp.clip(qp + chroma_qp_off, 0, 51)]
 
-    # outputs
-    out = {
-        "use_i16": jnp.zeros((gh, gw), jnp.int32),
-        "i16_mode": jnp.zeros((gh, gw), jnp.int32),
-        "i4_modes": jnp.zeros((gh, gw, 16), jnp.int32),
-        "chroma_mode": jnp.zeros((gh, gw), jnp.int32),
-        "luma_dc": jnp.zeros((gh, gw, 4, 4), jnp.int32),
-        "luma_ac": jnp.zeros((gh, gw, 16, 4, 4), jnp.int32),
-        "chroma_dc": jnp.zeros((gh, gw, 2, 2, 2), jnp.int32),
-        "chroma_ac": jnp.zeros((gh, gw, 2, 4, 4, 4), jnp.int32),
-    }
-    recY = jnp.zeros_like(src_y)
-    recU = jnp.zeros_like(src_u)
-    recV = jnp.zeros_like(src_v)
+    sy = sk(plane_to_tiles(
+        jax.lax.dynamic_slice(src_y, (PAD, PAD), (H, W)), 16))
+    su = sk(plane_to_tiles(
+        jax.lax.dynamic_slice(src_u, (PAD, PAD), (H // 2, W // 2)), 8))
+    sv = sk(plane_to_tiles(
+        jax.lax.dynamic_slice(src_v, (PAD, PAD), (H // 2, W // 2)), 8))
 
-    def step(carry, sched_d):
-        recY, recU, recV, out = carry
-        my = sched_d[:, 0]
-        mx = sched_d[:, 1]
-        valid = my >= 0
-        myc = jnp.maximum(my, 0)
-        mxc = jnp.maximum(mx, 0)
-        flat = myc * gw + mxc
-        qp_mb = qp.reshape(-1)[flat]
-        qpc_mb = qpc.reshape(-1)[flat]
-        al = avail_left.reshape(-1)[flat] & valid
-        at = avail_top.reshape(-1)[flat] & valid
+    xs = (sy, su, sv, sk(qp), sk(qpc),
+          jnp.where(valid, sk(avail_left), False),
+          jnp.where(valid, sk(avail_top), False),
+          jnp.where(valid, jnp.asarray(geo["mx_of"]), -1),
+          valid)
 
-        oy = jnp.where(valid, PAD + myc * 16, 0)
-        ox = jnp.where(valid, PAD + mxc * 16, 0)
+    big = jnp.float32(1e18)
 
-        src_tile = jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(src_y, (y, x), (16, 16))
-        )(oy, ox)                                          # (M,16,16) source
-        rec_tile = jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(recY, (y - 1, x - 1),
-                                               (17, 25))
-        )(oy, ox)                                          # neighbors
+    def step(carry, x):
+        r1y, r2y, r3y, r1u, r2u, r3u, r1v, r2v, r3v = carry
+        src_tile, csrc_u, csrc_v, qp_mb, qpc_mb, al, at, mxs, vld = x
+        K = src_tile.shape[0]
+
+        rec_tile = _neighbor_tile17x25(jnp.zeros_like(src_tile),
+                                       r1y, r2y, r3y)
 
         # ---- Intra16x16 path --------------------------------------------
         top16 = rec_tile[:, 0, 1:17]
         left16 = rec_tile[:, 1:17, 0]
         tl16 = rec_tile[:, 0, 0]
-        bank16 = pred16x16_all(top16, left16, tl16, at, al)  # (M,4,16,16)
+        bank16 = pred16x16_all(top16, left16, tl16, at, al)  # (K,4,16,16)
         sad16 = jnp.sum(jnp.abs(bank16 - src_tile[:, None]), axis=(-1, -2))
-        # disallow modes with missing neighbors
-        big = jnp.float32(1e18)
         m16cost = sad16.astype(jnp.float32)
         m16cost = m16cost.at[:, 0].add(jnp.where(at, 0.0, big))
         m16cost = m16cost.at[:, 1].add(jnp.where(al, 0.0, big))
@@ -110,21 +102,19 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
         p16 = jnp.take_along_axis(bank16,
                                   i16_mode[:, None, None, None], 1)[:, 0]
         res16 = src_tile - p16
-        blocks16 = _blocks_of_mb(res16)                     # (M,16,4,4)
+        blocks16 = _blocks_of_mb(res16)                     # (K,16,4,4)
         w16 = forward_dct_4x4(blocks16)
-        # DC plane: w16[..., 0, 0] arranged spatially (block row/col raster)
         blk_row = jnp.asarray(_BLK_Y) // 4
         blk_col = jnp.asarray(_BLK_X) // 4
-        dc_sp = jnp.zeros((M, 4, 4), jnp.int32)
+        dc_sp = jnp.zeros((K, 4, 4), jnp.int32)
         dc_sp = dc_sp.at[:, blk_row, blk_col].set(w16[..., 0, 0])
         luma_dc_q = forward_hadamard_quant_dc_luma(dc_sp, qp_mb)
         ac16_q = forward_quant_4x4(w16, qp_mb[:, None], True, skip_dc=True)
-        # I16 recon: descale DC, dequant AC, inverse transform
-        d16 = dequant_4x4(ac16_q, jnp.broadcast_to(qp_mb[:, None], (M, 16)))
+        d16 = dequant_4x4(ac16_q, jnp.broadcast_to(qp_mb[:, None], (K, 16)))
         dc_rec = luma_dc_descale_intra16(luma_dc_q, qp_mb)
         d16 = d16.at[..., 0, 0].set(dc_rec[:, blk_row, blk_col])
-        r16 = inverse_transform_4x4(d16)                    # (M,16,4,4)
-        rec16 = jnp.zeros((M, 16, 16), jnp.int32)
+        r16 = inverse_transform_4x4(d16)                    # (K,16,4,4)
+        rec16 = jnp.zeros((K, 16, 16), jnp.int32)
         for b in range(16):
             rec16 = rec16.at[:, _BLK_Y[b]:_BLK_Y[b] + 4,
                              _BLK_X[b]:_BLK_X[b] + 4].set(r16[:, b])
@@ -132,33 +122,30 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
 
         # ---- Intra4x4 path (16 sequential blocks) -----------------------
         t4 = rec_tile
-        i4_modes = jnp.zeros((M, 16), jnp.int32)
-        i4_coef = jnp.zeros((M, 16, 4, 4), jnp.int32)
-        i4_cost = jnp.zeros((M,), jnp.float32)
-        at_edge = (mx == gw - 1)
-        # predicted-mode bookkeeping for the bit cost (approximated with
-        # DC as the most-probable mode; exact MPM handled by the packer)
+        i4_modes = jnp.zeros((K, 16), jnp.int32)
+        i4_coef = jnp.zeros((K, 16, 4, 4), jnp.int32)
+        i4_cost = jnp.zeros((K,), jnp.float32)
+        at_edge = mxs == gw - 1
         for blk in range(16):
             x0, y0 = _BLK_X[blk] + 1, _BLK_Y[blk] + 1
             top = t4[:, y0 - 1, x0:x0 + 8]
             left = t4[:, y0:y0 + 4, x0 - 1]
             tl = t4[:, y0 - 1, x0 - 1]
             if blk in _TR_NEVER:
-                sub = jnp.ones((M,), bool)
+                sub = jnp.ones_like(at_edge)
             elif blk == _TR_EDGE_BLK:
                 sub = at_edge
             else:
-                sub = jnp.zeros((M,), bool)
+                sub = jnp.zeros_like(at_edge)
             t3 = top[:, 3:4]
             top = jnp.where(sub[:, None] & (jnp.arange(8) >= 4), t3, top)
-            b_at = at if _BLK_Y[blk] == 0 else jnp.ones((M,), bool) & valid
-            b_al = al if _BLK_X[blk] == 0 else jnp.ones((M,), bool) & valid
-            bank = pred4x4_all(top, left, tl, b_at, b_al)    # (M,9,4,4)
+            b_at = at if _BLK_Y[blk] == 0 else vld
+            b_al = al if _BLK_X[blk] == 0 else vld
+            bank = pred4x4_all(top, left, tl, b_at, b_al)    # (K,9,4,4)
             sblk = src_tile[:, _BLK_Y[blk]:_BLK_Y[blk] + 4,
                             _BLK_X[blk]:_BLK_X[blk] + 4]
             sad = jnp.sum(jnp.abs(bank - sblk[:, None]), axis=(-1, -2)) \
                 .astype(jnp.float32)
-            # availability gating (vert needs top, horiz needs left, ...)
             need_top = jnp.asarray([1, 0, 0, 1, 1, 1, 1, 1, 0], bool)
             need_left = jnp.asarray([0, 1, 0, 0, 1, 1, 1, 0, 1], bool)
             pen = jnp.where(need_top[None, :] & ~b_at[:, None], big, 0.0) + \
@@ -182,27 +169,15 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
         # ---- choose I16 vs I4 -------------------------------------------
         use16 = (i16_cost + lam * 6.0) < i4_cost
         recon = jnp.where(use16[:, None, None], rec16, rec4)
-        recY_new = _scatter(recY, jnp.where(valid[:, None, None], recon,
-                                            rec_tile[:, 1:17, 1:17]),
-                            oy, ox)
 
         # ---- chroma ------------------------------------------------------
-        oyc = jnp.where(valid, PAD + myc * 8, 0)
-        oxc = jnp.where(valid, PAD + mxc * 8, 0)
-        csrc = []
-        ctiles = []
-        for sp, rp in ((src_u, recU), (src_v, recV)):
-            csrc.append(jax.vmap(
-                lambda y, x, pp=sp: jax.lax.dynamic_slice(pp, (y, x), (8, 8))
-            )(oyc, oxc))
-            ctiles.append(jax.vmap(
-                lambda y, x, pp=rp: jax.lax.dynamic_slice(
-                    pp, (y - 1, x - 1), (9, 9))
-            )(oyc, oxc))
         banks = []
-        for ct in ctiles:
+        for cc, r1, r2, r3 in ((csrc_u, r1u, r2u, r3u),
+                               (csrc_v, r1v, r2v, r3v)):
+            ct = _neighbor_tile9x9(jnp.zeros_like(cc), r1, r2, r3)
             banks.append(pred_chroma_all(ct[:, 0, 1:9], ct[:, 1:9, 0],
                                          ct[:, 0, 0], at, al))
+        csrc = (csrc_u, csrc_v)
         sadc = sum(jnp.sum(jnp.abs(b - s[:, None]), axis=(-1, -2))
                    for b, s in zip(banks, csrc)).astype(jnp.float32)
         sadc = sadc.at[:, 2].add(jnp.where(at, 0.0, big))
@@ -220,65 +195,54 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
             cblocks = jnp.stack(
                 [resc[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
                       (b & 1) * 4:(b & 1) * 4 + 4] for b in range(4)],
-                axis=1)                                     # (M,4,4,4)
+                axis=1)                                     # (K,4,4,4)
             wc = forward_dct_4x4(cblocks)
             dc2 = jnp.stack(
                 [jnp.stack([wc[:, 0, 0, 0], wc[:, 1, 0, 0]], -1),
                  jnp.stack([wc[:, 2, 0, 0], wc[:, 3, 0, 0]], -1)], -2)
             dcq = forward_hadamard_quant_dc_chroma(dc2, qpc_mb, True)
             acq = forward_quant_4x4(wc, qpc_mb[:, None], True, skip_dc=True)
-            # recon
             dcd = chroma_dc_descale(dcq, qpc_mb)
-            dd = dequant_4x4(acq, jnp.broadcast_to(qpc_mb[:, None], (M, 4)))
+            dd = dequant_4x4(acq, jnp.broadcast_to(qpc_mb[:, None], (K, 4)))
             blk_r = jnp.arange(4) // 2
             blk_c = jnp.arange(4) % 2
             dd = dd.at[:, :, 0, 0].set(dcd[:, blk_r, blk_c])
             rr = inverse_transform_4x4(dd)
-            recc = jnp.zeros((M, 8, 8), jnp.int32)
+            recc = jnp.zeros((K, 8, 8), jnp.int32)
             for b in range(4):
                 recc = recc.at[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
                                (b & 1) * 4:(b & 1) * 4 + 4].set(rr[:, b])
             crecs.append(jnp.clip(pc + recc, 0, 255))
             ch_dc.append(dcq)
             ch_ac.append(acq)
-        recU_new = _scatter(recU, jnp.where(valid[:, None, None], crecs[0],
-                                            ctiles[0][:, 1:9, 1:9]),
-                            oyc, oxc)
-        recV_new = _scatter(recV, jnp.where(valid[:, None, None], crecs[1],
-                                            ctiles[1][:, 1:9, 1:9]),
-                            oyc, oxc)
 
-        # ---- store outputs ----------------------------------------------
-        # padding slots scatter to an out-of-bounds index and are dropped
-        flat_w = jnp.where(valid, flat, gh * gw)
+        outs = (use16.astype(jnp.int32), i16_mode, i4_modes, cmode,
+                jnp.where(use16[:, None, None], luma_dc_q, 0),
+                jnp.where(use16[:, None, None, None], ac16_q, i4_coef),
+                jnp.stack(ch_dc, axis=1), jnp.stack(ch_ac, axis=1),
+                recon, crecs[0], crecs[1])
+        new_carry = (recon, r1y, r2y, crecs[0], r1u, r2u,
+                     crecs[1], r1v, r2v)
+        return new_carry, outs
 
-        def put(name, val):
-            arr = out[name]
-            flat_arr = arr.reshape((gh * gw,) + arr.shape[2:])
-            flat_arr = flat_arr.at[flat_w].set(val, mode="drop")
-            out[name] = flat_arr.reshape(arr.shape)
+    zy = jnp.zeros((K, 16, 16), jnp.int32)
+    zc = jnp.zeros((K, 8, 8), jnp.int32)
+    init = (zy, zy, zy, zc, zc, zc, zc, zc, zc)
+    _, ys = jax.lax.scan(step, init, xs)
+    (use16, i16_mode, i4_modes, cmode, luma_dc, luma_ac, chroma_dc,
+     chroma_ac, rec_y, rec_u, rec_v) = ys
 
-        out = dict(out)
-        put("use_i16", use16.astype(jnp.int32))
-        put("i16_mode", i16_mode)
-        put("i4_modes", i4_modes)
-        put("chroma_mode", cmode)
-        put("luma_dc", jnp.where(use16[:, None, None], luma_dc_q, 0))
-        put("luma_ac", jnp.where(use16[:, None, None, None],
-                                 ac16_q, i4_coef))
-        put("chroma_dc", jnp.stack(ch_dc, axis=1))
-        put("chroma_ac", jnp.stack(ch_ac, axis=1))
-        return (recY_new, recU_new, recV_new, out), None
-
-    (recY, recU, recV, out), _ = jax.lax.scan(
-        step, (recY, recU, recV, out), schedule)
+    out = {
+        "use_i16": unskew(use16, geo),
+        "i16_mode": unskew(i16_mode, geo),
+        "i4_modes": unskew(i4_modes, geo),
+        "chroma_mode": unskew(cmode, geo),
+        "luma_dc": unskew(luma_dc, geo),
+        "luma_ac": unskew(luma_ac, geo),
+        "chroma_dc": unskew(chroma_dc, geo),
+        "chroma_ac": unskew(chroma_ac, geo),
+    }
+    recY = jnp.pad(tiles_to_plane(unskew(rec_y, geo)), PAD)
+    recU = jnp.pad(tiles_to_plane(unskew(rec_u, geo)), PAD)
+    recV = jnp.pad(tiles_to_plane(unskew(rec_v, geo)), PAD)
     return recY, recU, recV, out
-
-
-def _scatter(plane, tiles, oy, ox):
-    def body(p, args):
-        t, y, x = args
-        return jax.lax.dynamic_update_slice(p, t, (y, x)), None
-
-    plane, _ = jax.lax.scan(body, plane, (tiles, oy, ox))
-    return plane

@@ -44,34 +44,53 @@ def full_search_int(src_pad, ref_pad, lam_motion, *, gw: int, gh: int,
     H, W = gh * 16, gw * 16
     side = 2 * rng + 1
     C = side * side
+    # candidates batched in chunks: one scan step evaluates CH whole-frame
+    # displacements at once (round-1 ran one per step — C sequential steps)
+    CH = 32
+    n_chunks = (C + CH - 1) // CH
+    Cpad = n_chunks * CH
 
-    def sad_cost(c):
-        dy = c // side - rng
-        dx = c % side - rng
-        shifted = jax.lax.dynamic_slice(
-            ref_pad, (PAD + dy, PAD + dx), (H, W))
-        src = jax.lax.dynamic_slice(src_pad, (PAD, PAD), (H, W))
-        diff = jnp.abs(src - shifted)
-        s8 = diff.reshape(2 * gh, 8, 2 * gw, 8).sum(axis=(1, 3))  # (2gh,2gw)
-        mv_pen = lam_motion * (_se_bits(dx * 4) + _se_bits(dy * 4))
-        return s8.astype(jnp.float32), mv_pen, dx, dy
+    src = jax.lax.dynamic_slice(src_pad, (PAD, PAD), (H, W))
+    cands = jnp.arange(Cpad)
+    chunks = cands.reshape(n_chunks, CH)
 
-    def step(carry, c):
+    def chunk_sads(cs):
+        """cs (CH,) candidate ids -> per-8x8 costs (CH,gh,gw,4) f32 + MVs."""
+        dy = jnp.minimum(cs, C - 1) // side - rng
+        dx = jnp.minimum(cs, C - 1) % side - rng
+
+        def one(dyi, dxi):
+            shifted = jax.lax.dynamic_slice(
+                ref_pad, (PAD + dyi, PAD + dxi), (H, W))
+            diff = jnp.abs(src - shifted)
+            return diff.reshape(2 * gh, 8, 2 * gw, 8).sum(axis=(1, 3))
+
+        s8 = jax.vmap(one)(dy, dx)                          # (CH,2gh,2gw)
+        pen = lam_motion * (_se_bits(dx * 4) + _se_bits(dy * 4))
+        pen = jnp.where(cs < C, pen, jnp.float32(1e18))     # mask padding
+        q = s8.reshape(CH, gh, 2, gw, 2).transpose(0, 1, 3, 2, 4)
+        s88 = q.reshape(CH, gh, gw, 4).astype(jnp.float32) + \
+            pen[:, None, None, None]
+        return s88, dx, dy
+
+    def step(carry, cs):
         (b16c, b16v, b168c, b168v, b816c, b816v, b88c, b88v) = carry
-        s8, pen, dx, dy = sad_cost(c)
-        q = s8.reshape(gh, 2, gw, 2).transpose(0, 2, 1, 3)  # (gh,gw,2,2)
-        s88 = q.reshape(gh, gw, 4)                          # [sy*2+sx]
-        s16 = s88.sum(-1)
+        s88, dx, dy = chunk_sads(cs)                        # (CH,gh,gw,4)
+        s16 = s88.sum(-1)                                   # (CH,gh,gw)
         s168 = jnp.stack([s88[..., 0] + s88[..., 1],
                           s88[..., 2] + s88[..., 3]], -1)
         s816 = jnp.stack([s88[..., 0] + s88[..., 2],
                           s88[..., 1] + s88[..., 3]], -1)
-        mv = jnp.stack([jnp.int32(dx), jnp.int32(dy)])
+        mv = jnp.stack([dx, dy], -1).astype(jnp.int32)      # (CH,2)
 
         def upd(best_c, best_v, cost):
-            better = cost + pen < best_c
-            return (jnp.where(better, cost + pen, best_c),
-                    jnp.where(better[..., None], mv, best_v))
+            # best over the chunk, then against the carry
+            k = jnp.argmin(cost, axis=0)                    # (gh,gw[,p])
+            cmin = jnp.take_along_axis(cost, k[None], 0)[0]
+            vmin = mv[k]                                    # (gh,gw[,p],2)
+            better = cmin < best_c
+            return (jnp.where(better, cmin, best_c),
+                    jnp.where(better[..., None], vmin, best_v))
 
         b16c, b16v = upd(b16c, b16v, s16)
         b168c, b168v = upd(b168c, b168v, s168)
@@ -84,7 +103,7 @@ def full_search_int(src_pad, ref_pad, lam_motion, *, gw: int, gh: int,
             jnp.full((gh, gw, 2), big), jnp.zeros((gh, gw, 2, 2), jnp.int32),
             jnp.full((gh, gw, 2), big), jnp.zeros((gh, gw, 2, 2), jnp.int32),
             jnp.full((gh, gw, 4), big), jnp.zeros((gh, gw, 4, 2), jnp.int32))
-    out, _ = jax.lax.scan(step, init, jnp.arange(C))
+    out, _ = jax.lax.scan(step, init, chunks)
     return out
 
 

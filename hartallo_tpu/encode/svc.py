@@ -115,8 +115,6 @@ class SvcEncoder:
             chroma_dc_descale, dequant_4x4, forward_dct_4x4,
             forward_hadamard_quant_dc_chroma, forward_quant_4x4,
             inverse_transform_4x4)
-        from hartallo_tpu.decode.intra_recon import wavefront_schedule
-
         if enc.sps is None:
             self._setup_enh(enc, li, width, height)
         sps, pps = enc.sps, enc.pps
@@ -230,13 +228,10 @@ class SvcEncoder:
         recY, recU, recV = (jnp.asarray(recY.astype(np.int32)),
                             jnp.asarray(recU.astype(np.int32)),
                             jnp.asarray(recV.astype(np.int32)))
-        key = (gw, gh)
-        if key not in enc._sched_cache:
-            enc._sched_cache[key] = jnp.asarray(wavefront_schedule(gw, gh))
         if enc.cfg.deblock:
             recY, recU, recV = enc._deblock_recon(
                 arrays, qp, np.zeros((gh, gw), np.int8),  # treated intra
-                (recY, recU, recV), enc._sched_cache[key], gw, gh)
+                (recY, recU, recV), gw, gh)
         enc._ref_planes = (recY, recU, recV)
         enc.frame_num = (enc.frame_num + 1) % sps.max_frame_num
         enc.frame_idx += 1

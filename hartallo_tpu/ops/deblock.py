@@ -8,7 +8,11 @@ TPU re-expression: boundary strengths for the whole frame are a batched
 precompute (no spatial deps); pixel filtering runs as a wavefront over MB
 anti-diagonals d = mx + 2*my — the per-MB V-then-H edge order of the spec
 induces left/top/above-right MB dependencies, exactly like intra
-prediction, and MBs on one anti-diagonal touch disjoint pixels.
+prediction, and MBs on one anti-diagonal touch disjoint pixels.  The
+wavefront uses the skewed layout of ``ops/wavefront.py``: one scan step =
+one static diagonal row, the carry holds the last two rows (a step's
+V-edge-0 writes into the left tile, row d-1, and its H-edge-0 into the
+top tile, row d-2), and a diagonal is final two steps after its own.
 """
 from __future__ import annotations
 
@@ -20,6 +24,9 @@ import numpy as np
 
 from hartallo_tpu.core.tables import (DEBLOCK_ALPHA, DEBLOCK_BETA,
                                       DEBLOCK_TC0, QP_SCALE_CHROMA)
+from hartallo_tpu.ops.wavefront import (plane_to_tiles, shift_k, skew,
+                                        skew_geometry, tiles_to_plane,
+                                        unskew)
 
 _ALPHA = jnp.asarray(DEBLOCK_ALPHA)
 _BETA = jnp.asarray(DEBLOCK_BETA)
@@ -162,13 +169,23 @@ def _filter_chroma_line(p1, p0, q0, q1, bs, alpha, beta, tc0):
 
 
 # ---------------------------------------------------------------------------
-# Wavefront deblock
+# Wavefront deblock (skewed-diagonal scan)
 # ---------------------------------------------------------------------------
+
+def _pad_rows(x, n: int, fill=0):
+    """Append n dummy diagonal rows (scan flush)."""
+    tail = jnp.full((n,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x, tail], axis=0)
+
+
+_SEG16 = np.arange(16) // 4          # line -> 4x4 segment (luma)
+_SEG8 = (np.arange(8) * 2) // 4      # chroma line -> luma segment
+
 
 @partial(jax.jit, static_argnames=("gw", "gh"))
 def deblock_frame(planes, bs_v, bs_h, qp_y, qp_left, qp_top,
                   qpc_cur, qpc_left, qpc_top,
-                  alpha_off, beta_off, schedule, *, gw: int, gh: int):
+                  alpha_off, beta_off, *, gw: int, gh: int):
     """Apply the in-loop filter; planes are PAD-padded int32 (Y, U, V).
 
     qp_y (gh,gw): MB luma QP; qp_left/qp_top: neighbor-MB QP (same value as
@@ -176,137 +193,187 @@ def deblock_frame(planes, bs_v, bs_h, qp_y, qp_left, qp_top,
     alpha_off/beta_off (gh,gw): per-MB slice offsets (2*div2 values).
     """
     pY, pU, pV = planes
-    D, M, _ = schedule.shape
+    H, W = gh * 16, gw * 16
+    geo = skew_geometry(gw, gh)
+    D, K = geo["D"], geo["K"]
 
-    def idxAB(qp_avg, off_a, off_b):
-        ia = jnp.clip(qp_avg + off_a, 0, 51)
-        ib = jnp.clip(qp_avg + off_b, 0, 51)
-        return ia, ib
+    ty = skew(plane_to_tiles(
+        jax.lax.dynamic_slice(pY, (PAD, PAD), (H, W)), 16), geo)
+    tu = skew(plane_to_tiles(
+        jax.lax.dynamic_slice(pU, (PAD, PAD), (H // 2, W // 2)), 8), geo)
+    tv = skew(plane_to_tiles(
+        jax.lax.dynamic_slice(pV, (PAD, PAD), (H // 2, W // 2)), 8), geo)
 
-    def step(carry, sched_d):
-        pY, pU, pV = carry
-        my = sched_d[:, 0]
-        mx = sched_d[:, 1]
-        valid = my >= 0
-        myc = jnp.maximum(my, 0)
-        mxc = jnp.maximum(mx, 0)
-        flat = myc * gw + mxc
+    valid = jnp.asarray(geo["valid"])
+    sk = lambda a: skew(a, geo)                                # noqa: E731
+    sbv = jnp.where(valid[..., None, None], sk(bs_v), 0)
+    sbh = jnp.where(valid[..., None, None], sk(bs_h), 0)
+    xs = (_pad_rows(ty, 2), _pad_rows(tu, 2), _pad_rows(tv, 2),
+          _pad_rows(sbv, 2), _pad_rows(sbh, 2),
+          _pad_rows(sk(qp_y), 2), _pad_rows(sk(qp_left), 2),
+          _pad_rows(sk(qp_top), 2),
+          _pad_rows(sk(qpc_cur), 2), _pad_rows(sk(qpc_left), 2),
+          _pad_rows(sk(qpc_top), 2),
+          _pad_rows(sk(alpha_off), 2), _pad_rows(sk(beta_off), 2))
 
-        bsv = bs_v.reshape(-1, 4, 4)[flat]
-        bsh = bs_h.reshape(-1, 4, 4)[flat]
-        qpc = qp_y.reshape(-1)[flat]
-        qpl = qp_left.reshape(-1)[flat]
-        qpt = qp_top.reshape(-1)[flat]
-        cqc = qpc_cur.reshape(-1)[flat]
-        cql = qpc_left.reshape(-1)[flat]
-        cqt = qpc_top.reshape(-1)[flat]
-        offa = alpha_off.reshape(-1)[flat]
-        offb = beta_off.reshape(-1)[flat]
+    seg16 = jnp.asarray(_SEG16)
+    seg8 = jnp.asarray(_SEG8)
 
-        oy = jnp.where(valid, PAD + myc * 16, 0)
-        ox = jnp.where(valid, PAD + mxc * 16, 0)
+    def idxAB(qp_avg, offa, offb):
+        return (jnp.clip(qp_avg + offa, 0, 51),
+                jnp.clip(qp_avg + offb, 0, 51))
 
-        tile = jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(pY, (y - 4, x - 4), (20, 20))
-        )(oy, ox)
+    def step(carry, x):
+        p1y, p2y, p1u, p2u, p1v, p2v = carry
+        (cy, cu, cv, bsv, bsh, qpc_c, qpl, qpt, cqc, cql, cqt,
+         offa, offb) = x
 
-        # ---- vertical edges (x = 0,4,8,12 in MB coords -> tile col 4+4e)
+        top_y = shift_k(p2y)         # row d-2 seen from slot k (at k-1)
+        top_u = shift_k(p2u)
+        top_v = shift_k(p2v)
+
+        # ---- luma vertical edges (left->right) -------------------------
         for e in range(4):
-            tc_col = 4 + 4 * e
-            qp_avg = ((qpl + qpc + 1) >> 1) if e == 0 else qpc
+            qp_avg = ((qpl + qpc_c + 1) >> 1) if e == 0 else qpc_c
             ia, ib = idxAB(qp_avg, offa, offb)
             alpha = _ALPHA[ia][:, None]
             beta = _BETA[ib][:, None]
-            seg = jnp.arange(16) // 4
-            bs_line = bsv[:, e, :][:, seg]                    # (M,16)
-            tc0 = _TC0[ia[:, None], jnp.clip(bs_line, 0, 3)]  # (M,16)
-            cols = [tile[:, 4:20, tc_col + k] for k in range(-4, 4)]
+            bs_line = bsv[:, e, :][:, seg16]                   # (K,16)
+            tc0 = _TC0[ia[:, None], jnp.clip(bs_line, 0, 3)]
+            if e == 0:
+                cols = [p1y[:, :, 12 + k] for k in range(4)] + \
+                       [cy[:, :, k] for k in range(4)]
+            else:
+                c0 = 4 * e - 4
+                cols = [cy[:, :, c0 + k] for k in range(8)]
             np2, np1, np0, nq0, nq1, nq2 = _filter_luma_line(
                 cols[0], cols[1], cols[2], cols[3], cols[4], cols[5],
                 cols[6], cols[7], bs_line, alpha, beta, tc0)
-            tile = tile.at[:, 4:20, tc_col - 3].set(np2)
-            tile = tile.at[:, 4:20, tc_col - 2].set(np1)
-            tile = tile.at[:, 4:20, tc_col - 1].set(np0)
-            tile = tile.at[:, 4:20, tc_col + 0].set(nq0)
-            tile = tile.at[:, 4:20, tc_col + 1].set(nq1)
-            tile = tile.at[:, 4:20, tc_col + 2].set(nq2)
+            if e == 0:
+                p1y = p1y.at[:, :, 13].set(np2)
+                p1y = p1y.at[:, :, 14].set(np1)
+                p1y = p1y.at[:, :, 15].set(np0)
+                cy = cy.at[:, :, 0].set(nq0)
+                cy = cy.at[:, :, 1].set(nq1)
+                cy = cy.at[:, :, 2].set(nq2)
+            else:
+                c0 = 4 * e - 4
+                cy = cy.at[:, :, c0 + 1].set(np2)
+                cy = cy.at[:, :, c0 + 2].set(np1)
+                cy = cy.at[:, :, c0 + 3].set(np0)
+                cy = cy.at[:, :, c0 + 4].set(nq0)
+                cy = cy.at[:, :, c0 + 5].set(nq1)
+                cy = cy.at[:, :, c0 + 6].set(nq2)
 
-        # ---- horizontal edges (y = 0,4,8,12 -> tile row 4+4e)
+        # ---- luma horizontal edges (top->bottom) ------------------------
         for e in range(4):
-            tr = 4 + 4 * e
-            qp_avg = ((qpt + qpc + 1) >> 1) if e == 0 else qpc
+            qp_avg = ((qpt + qpc_c + 1) >> 1) if e == 0 else qpc_c
             ia, ib = idxAB(qp_avg, offa, offb)
             alpha = _ALPHA[ia][:, None]
             beta = _BETA[ib][:, None]
-            seg = jnp.arange(16) // 4
-            bs_line = bsh[:, e, :][:, seg]
+            bs_line = bsh[:, e, :][:, seg16]
             tc0 = _TC0[ia[:, None], jnp.clip(bs_line, 0, 3)]
-            rows = [tile[:, tr + k, 4:20] for k in range(-4, 4)]
+            if e == 0:
+                rows = [top_y[:, 12 + k, :] for k in range(4)] + \
+                       [cy[:, k, :] for k in range(4)]
+            else:
+                r0 = 4 * e - 4
+                rows = [cy[:, r0 + k, :] for k in range(8)]
             np2, np1, np0, nq0, nq1, nq2 = _filter_luma_line(
                 rows[0], rows[1], rows[2], rows[3], rows[4], rows[5],
                 rows[6], rows[7], bs_line, alpha, beta, tc0)
-            tile = tile.at[:, tr - 3, 4:20].set(np2)
-            tile = tile.at[:, tr - 2, 4:20].set(np1)
-            tile = tile.at[:, tr - 1, 4:20].set(np0)
-            tile = tile.at[:, tr + 0, 4:20].set(nq0)
-            tile = tile.at[:, tr + 1, 4:20].set(nq1)
-            tile = tile.at[:, tr + 2, 4:20].set(nq2)
-
-        pY = _scatter_region(pY, tile[:, 1:20, 1:20], oy - 3, ox - 3)
+            if e == 0:
+                top_y = top_y.at[:, 13, :].set(np2)
+                top_y = top_y.at[:, 14, :].set(np1)
+                top_y = top_y.at[:, 15, :].set(np0)
+                cy = cy.at[:, 0, :].set(nq0)
+                cy = cy.at[:, 1, :].set(nq1)
+                cy = cy.at[:, 2, :].set(nq2)
+            else:
+                r0 = 4 * e - 4
+                cy = cy.at[:, r0 + 1, :].set(np2)
+                cy = cy.at[:, r0 + 2, :].set(np1)
+                cy = cy.at[:, r0 + 3, :].set(np0)
+                cy = cy.at[:, r0 + 4, :].set(nq0)
+                cy = cy.at[:, r0 + 5, :].set(nq1)
+                cy = cy.at[:, r0 + 6, :].set(nq2)
 
         # ---- chroma ------------------------------------------------------
-        oyc = jnp.where(valid, PAD + myc * 8, 0)
-        oxc = jnp.where(valid, PAD + mxc * 8, 0)
-        new_uv = []
-        for p in (pU, pV):
-            ct = jax.vmap(
-                lambda y, x, pp=p: jax.lax.dynamic_slice(
-                    pp, (y - 4, x - 4), (12, 12))
-            )(oyc, oxc)
-            # vertical chroma edges at x=0,4 -> luma edges 0,2
+        def chroma(ct, left_t, top_t):
+            # vertical edges at tile cols 0, 4 <- luma edges 0, 2
             for e, le in ((0, 0), (1, 2)):
-                tc_col = 4 + 4 * e
                 qp_avg = ((cql + cqc + 1) >> 1) if e == 0 else cqc
                 ia, ib = idxAB(qp_avg, offa, offb)
                 alpha = _ALPHA[ia][:, None]
                 beta = _BETA[ib][:, None]
-                seg = (jnp.arange(8) * 2) // 4
-                bs_line = bsv[:, le, :][:, seg]               # (M,8)
+                bs_line = bsv[:, le, :][:, seg8]               # (K,8)
                 tc0 = _TC0[ia[:, None], jnp.clip(bs_line, 0, 3)]
-                cols = [ct[:, 4:12, tc_col + k] for k in range(-2, 2)]
+                if e == 0:
+                    cols = [left_t[:, :, 6], left_t[:, :, 7],
+                            ct[:, :, 0], ct[:, :, 1]]
+                else:
+                    cols = [ct[:, :, 2], ct[:, :, 3],
+                            ct[:, :, 4], ct[:, :, 5]]
                 np0, nq0 = _filter_chroma_line(
                     cols[0], cols[1], cols[2], cols[3], bs_line, alpha,
                     beta, tc0)
-                ct = ct.at[:, 4:12, tc_col - 1].set(np0)
-                ct = ct.at[:, 4:12, tc_col + 0].set(nq0)
+                if e == 0:
+                    left_t = left_t.at[:, :, 7].set(np0)
+                    ct = ct.at[:, :, 0].set(nq0)
+                else:
+                    ct = ct.at[:, :, 3].set(np0)
+                    ct = ct.at[:, :, 4].set(nq0)
             for e, le in ((0, 0), (1, 2)):
-                tr = 4 + 4 * e
                 qp_avg = ((cqt + cqc + 1) >> 1) if e == 0 else cqc
                 ia, ib = idxAB(qp_avg, offa, offb)
                 alpha = _ALPHA[ia][:, None]
                 beta = _BETA[ib][:, None]
-                seg = (jnp.arange(8) * 2) // 4
-                bs_line = bsh[:, le, :][:, seg]
+                bs_line = bsh[:, le, :][:, seg8]
                 tc0 = _TC0[ia[:, None], jnp.clip(bs_line, 0, 3)]
-                rows = [ct[:, tr + k, 4:12] for k in range(-2, 2)]
+                if e == 0:
+                    rows = [top_t[:, 6, :], top_t[:, 7, :],
+                            ct[:, 0, :], ct[:, 1, :]]
+                else:
+                    rows = [ct[:, 2, :], ct[:, 3, :],
+                            ct[:, 4, :], ct[:, 5, :]]
                 np0, nq0 = _filter_chroma_line(
                     rows[0], rows[1], rows[2], rows[3], bs_line, alpha,
                     beta, tc0)
-                ct = ct.at[:, tr - 1, 4:12].set(np0)
-                ct = ct.at[:, tr + 0, 4:12].set(nq0)
-            new_uv.append(_scatter_region(p, ct[:, 3:12, 3:12],
-                                          oyc - 1, oxc - 1))
-        pU, pV = new_uv
-        return (pY, pU, pV), None
+                if e == 0:
+                    top_t = top_t.at[:, 7, :].set(np0)
+                    ct = ct.at[:, 0, :].set(nq0)
+                else:
+                    ct = ct.at[:, 3, :].set(np0)
+                    ct = ct.at[:, 4, :].set(nq0)
+            return ct, left_t, top_t
 
-    (pY, pU, pV), _ = jax.lax.scan(step, (pY, pU, pV), schedule)
+        cu, p1u, top_u = chroma(cu, p1u, top_u)
+        cv, p1v, top_v = chroma(cv, p1v, top_v)
+
+        # scatter the top-row writes back (slot k wrote into k-1); the last
+        # slot of row d-2 has no below-MB in this diagonal — keep its value
+        p2y_new = jnp.concatenate([top_y[1:], p2y[-1:]], axis=0)
+        p2u_new = jnp.concatenate([top_u[1:], p2u[-1:]], axis=0)
+        p2v_new = jnp.concatenate([top_v[1:], p2v[-1:]], axis=0)
+
+        # next step's d-1 is this row (cy, with left-writes applied by the
+        # NEXT step), next step's d-2 is our d-1 (p1*, V-edge-0 writes done)
+        new_carry = (cy, p1y, cu, p1u, cv, p1v)
+        return new_carry, (p2y_new, p2u_new, p2v_new)
+
+    zy = jnp.zeros((K, 16, 16), jnp.int32)
+    zc = jnp.zeros((K, 8, 8), jnp.int32)
+    init = (zy, zy, zc, zc, zc, zc)
+    _, (oy, ou, ov) = jax.lax.scan(step, init, xs)
+    # step s emits finalized diagonal s-2: rows 0..D-1 live at ys[2:D+2]
+    y_tiles = oy[2:D + 2]
+    u_tiles = ou[2:D + 2]
+    v_tiles = ov[2:D + 2]
+
+    newY = tiles_to_plane(unskew(y_tiles, geo))
+    newU = tiles_to_plane(unskew(u_tiles, geo))
+    newV = tiles_to_plane(unskew(v_tiles, geo))
+    pY = jax.lax.dynamic_update_slice(pY, newY, (PAD, PAD))
+    pU = jax.lax.dynamic_update_slice(pU, newU, (PAD, PAD))
+    pV = jax.lax.dynamic_update_slice(pV, newV, (PAD, PAD))
     return pY, pU, pV
-
-
-def _scatter_region(plane, tiles, oy, ox):
-    def body(p, args):
-        t, y, x = args
-        return jax.lax.dynamic_update_slice(p, t, (y, x)), None
-
-    plane, _ = jax.lax.scan(body, plane, (tiles, oy, ox))
-    return plane

@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hartallo_tpu.core.tables import LUMA_4x4_BLK_XY, QP_SCALE_CHROMA
-from hartallo_tpu.decode.intra_recon import PAD, wavefront_schedule
+from hartallo_tpu.decode.intra_recon import PAD
 from hartallo_tpu.encode.p_device import p_frame_device
 from hartallo_tpu.ops.deblock import compute_bs, deblock_frame
 
@@ -73,7 +73,7 @@ def _edge_pad(x):
     return jnp.pad(x, PAD, mode="edge")
 
 
-def _shard_deblock(wq, mv44, qp_l, qpc_off, planes, sched, gw, gh_l):
+def _shard_deblock(wq, mv44, qp_l, qpc_off, planes, gw, gh_l):
     """Traced per-shard in-loop deblock of a P band (inter-only MBs, ref 0)
     — mirrors encode.encoder.Encoder._deblock_recon."""
     counts = (wq != 0).sum(axis=(-1, -2))                    # (gh,gw,16)
@@ -97,7 +97,7 @@ def _shard_deblock(wq, mv44, qp_l, qpc_off, planes, sched, gw, gh_l):
     qpc_top = jnp.concatenate([qpc[:1, :], qpc[:-1, :]], axis=0)
     zeros = jnp.zeros((gh_l, gw), jnp.int32)
     return deblock_frame(planes, bs_v, bs_h, qp_l, qp_left, qp_top,
-                         qpc, qpc_left, qpc_top, zeros, zeros, sched,
+                         qpc, qpc_left, qpc_top, zeros, zeros,
                          gw=gw, gh=gh_l)
 
 
@@ -115,7 +115,6 @@ def p_encode_step_sharded(mesh: Mesh, srcY, srcU, srcV, refY, refU, refV,
     assert gh % n == 0, (gh, n)
     gh_l = gh // n
     assert rng <= PAD - 8
-    sched = jnp.asarray(wavefront_schedule(gw, gh_l))
     axis = mesh.axis_names[0]
 
     @partial(jax.shard_map, mesh=mesh,
@@ -138,7 +137,7 @@ def p_encode_step_sharded(mesh: Mesh, srcY, srcU, srcV, refY, refU, refV,
         if deblock:
             recY, recU, recV = _shard_deblock(
                 wq, mv44, qp_l, chroma_qp_off, (recY, recU, recV),
-                sched, gw, gh_l)
+                gw, gh_l)
         H, W = gh_l * 16, gw * 16
         recY = jax.lax.dynamic_slice(recY, (PAD, PAD), (H, W))
         recU = jax.lax.dynamic_slice(recU, (PAD, PAD), (H // 2, W // 2))

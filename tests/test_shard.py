@@ -38,8 +38,6 @@ def _band_oracle(srcY, srcU, srcV, refY, refU, refV, qp):
     per-band deblock."""
     from hartallo_tpu.encode.p_device import p_frame_device
     from hartallo_tpu.parallel.shard import _shard_deblock
-    from hartallo_tpu.decode.intra_recon import wavefront_schedule
-
     gh_l = GH // N_DEV
     outs = []
     for s in range(N_DEV):
@@ -56,9 +54,8 @@ def _band_oracle(srcY, srcU, srcV, refY, refU, refV, qp):
         wq, dcq, acq, mv44, choice, recY, recU, recV = p_frame_device(
             sY, sU, sV, rY, rU, rV, qp_l, jnp.float32(LAM),
             gw=GW, gh=gh_l, rng=RNG, refine=True, chroma_qp_off=0)
-        sched = jnp.asarray(wavefront_schedule(GW, gh_l))
         recY, recU, recV = _shard_deblock(
-            wq, mv44, qp_l, 0, (recY, recU, recV), sched, GW, gh_l)
+            wq, mv44, qp_l, 0, (recY, recU, recV), GW, gh_l)
         H, W = gh_l * 16, GW * 16
         outs.append((np.asarray(wq), np.asarray(mv44),
                      np.asarray(recY[PAD:PAD + H, PAD:PAD + W]),
