@@ -37,6 +37,10 @@ class CodecConfig:
     dqid_max: int = -1
     entropy: str = "cavlc"                   # reference supports CAVLC only
     poc_type: int = 2                        # pic_order_cnt_type (0/1/2)
+    # FMO (slice groups): >1 emits one slice per group walking the
+    # MbToSliceGroupMap (8.2.2); map types supported for emit: 0/1/2/6
+    num_slice_groups: int = 1
+    slice_group_map_type: int = 0
     # SVC spatial layers: list of (width, height); empty = plain AVC
     layers: List[Tuple[int, int]] = field(default_factory=list)
 

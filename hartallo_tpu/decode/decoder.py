@@ -159,7 +159,17 @@ class Decoder:
         sd = layer.cur
         dec = SliceDecoder(sps, pps, sd)
         svc_il = svc_ext and not no_ilp
-        dec.decode_slice_data(r, sh, svc_inter_layer=svc_il)
+        scan_order = None
+        if pps.num_slice_groups_minus1 > 0:
+            # FMO: non-raster MB visit order per the slice-group map
+            # (8.2.2, hl_codec_264_fmo.c:16-208)
+            from hartallo_tpu.decode.fmo import (mb_to_slice_group_map,
+                                                 slice_scan_order)
+            sg_map = mb_to_slice_group_map(sps, pps,
+                                           sh.slice_group_change_cycle)
+            scan_order = slice_scan_order(sg_map, sh.first_mb_in_slice)
+        dec.decode_slice_data(r, sh, svc_inter_layer=svc_il,
+                              scan_order=scan_order)
 
         if (sd.mb_kind >= 0).all():
             frame, poc = self._reconstruct(sps, pps, layer.hdr, layer.nal,

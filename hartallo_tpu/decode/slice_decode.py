@@ -289,24 +289,34 @@ class SliceDecoder:
 
     # -- slice data -------------------------------------------------------
     def decode_slice_data(self, r: BitReader, hdr: SliceHeader,
-                          ref_planes=None, svc_inter_layer: bool = False
-                          ) -> None:
+                          ref_planes=None, svc_inter_layer: bool = False,
+                          scan_order=None) -> None:
         """Parse all MBs of one slice (I or P, CAVLC).  When
         ``svc_inter_layer`` the SVC MB syntax (base_mode_flag, G.7.3.6)
-        is in effect and the Python path is used."""
+        is in effect and the Python path is used.
+
+        ``scan_order``: FMO MB-address visit order (NextMbAddress walk of
+        the slice group, 8.2.2 / hl_codec_264_fmo.c) — when None, MBs are
+        visited in raster order from first_mb_in_slice.
+        """
         sd = self.sd
         sid = sd._slice_count
         sd._slice_count += 1
         qp_state = [hdr.slice_qp(self.pps)]
-        addr = hdr.first_mb_in_slice
         n_mbs = sd.gw * sd.gh
         is_p = hdr.is_p
         self._num_ref_idx_active = hdr.num_ref_idx_l0_active_minus1 + 1
+        if scan_order is None:
+            order = range(hdr.first_mb_in_slice, n_mbs)
+        else:
+            order = [int(a) for a in scan_order]
 
         from hartallo_tpu import native
-        if native.available() and not svc_inter_layer:
+        if native.available() and not svc_inter_layer \
+                and scan_order is None:
             n, _ = native.parse_slice_data(
-                r.data, r.pos, sd, first_mb=addr, slice_qp=qp_state[0],
+                r.data, r.pos, sd, first_mb=hdr.first_mb_in_slice,
+                slice_qp=qp_state[0],
                 is_p=is_p, num_ref=self._num_ref_idx_active, sid=sid,
                 deblock_idc=hdr.disable_deblocking_filter_idc,
                 alpha_off=2 * hdr.slice_alpha_c0_offset_div2,
@@ -320,14 +330,27 @@ class SliceDecoder:
             sd.alpha_off[my, mx] = 2 * hdr.slice_alpha_c0_offset_div2
             sd.beta_off[my, mx] = 2 * hdr.slice_beta_offset_div2
 
-        while addr < n_mbs:
+        order_it = iter(order)
+        pend = None            # one-address lookahead over the visit order
+
+        def next_addr():
+            nonlocal pend
+            if pend is not None:
+                a, pend = pend, None
+                return a
+            return next(order_it, None)
+
+        while True:
             if not r.more_rbsp_data():
+                break
+            addr = next_addr()
+            if addr is None:
                 break
             mx, my = addr % sd.gw, addr // sd.gw
             if is_p:
                 skip_run = r.ue()
                 for _ in range(skip_run):
-                    if addr >= n_mbs:
+                    if addr is None:
                         raise ValueError("skip run overflow")
                     mx, my = addr % sd.gw, addr // sd.gw
                     sd.mb_kind[my, mx] = MB_PSKIP
@@ -337,8 +360,8 @@ class SliceDecoder:
                     sd.nnz_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                     sd.nnz_chroma[my * 2:my * 2 + 2,
                                   mx * 2:mx * 2 + 2, :] = 0
-                    addr += 1
-                if addr >= n_mbs or not r.more_rbsp_data():
+                    addr = next_addr()
+                if addr is None or not r.more_rbsp_data():
                     break
                 mx, my = addr % sd.gw, addr // sd.gw
                 mb_type = r.ue()
@@ -360,7 +383,6 @@ class SliceDecoder:
                     mb_type = r.ue()
                     self._parse_i_mb(r, mx, my, mb_type, qp_state, sid)
                 mark_deblock(mx, my)
-            addr += 1
 
     # -- SVC I_BL macroblock (spec G.7.3.6: base_mode_flag=1, intra) ------
     def _parse_ibl_mb(self, r: BitReader, mx: int, my: int,

@@ -79,6 +79,27 @@ class Encoder:
         pps = PPS(deblocking_filter_control_present_flag=1,
                   pic_init_qp_minus26=max(-26, min(25,
                                                    self.cfg.qp - 26)))
+        if self.cfg.num_slice_groups > 1:
+            # FMO emit (test/robustness feature, hl_codec_264_fmo.c
+            # semantics): one slice per group
+            groups = min(self.cfg.num_slice_groups, 8)
+            t = self.cfg.slice_group_map_type
+            pps.num_slice_groups_minus1 = groups - 1
+            pps.slice_group_map_type = t
+            if t == 0:
+                pps.run_length_minus1 = [gw - 1] * groups
+            elif t == 2:
+                # foreground column-band rectangles; last group = leftover
+                xs = [round(i * gw / groups) for i in range(groups + 1)]
+                pps.top_left = [xs[g] for g in range(groups - 1)]
+                pps.bottom_right = [(gh - 1) * gw + xs[g + 1] - 1
+                                    for g in range(groups - 1)]
+            elif t == 6:
+                # explicit checkerboard-ish map
+                pps.slice_group_id = [
+                    ((i % gw) + (i // gw)) % groups for i in range(gw * gh)]
+            elif t != 1:
+                raise ValueError("FMO emit supports map types 0/1/2/6")
         self.sps, self.pps = sps, pps
         w = BitWriter()
         N.write_nal_header(w, 3, N.NAL_SPS)
@@ -148,10 +169,20 @@ class Encoder:
 
         qp = np.full((gh, gw), qp_val, np.int32)
         lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp_val - 12) / 3.0)))
-        ranges = self._slice_ranges(gh)
-        slice_id = np.zeros((gh, gw), np.int32)
-        for sid, (r0, r1) in enumerate(ranges):
-            slice_id[r0:r1, :] = sid
+        if self.cfg.num_slice_groups > 1:
+            # FMO: one slice per group, MBs visited in NextMbAddress order
+            from hartallo_tpu.decode.fmo import mb_to_slice_group_map
+            sg = mb_to_slice_group_map(sps, self.pps,
+                                       slice_group_change_cycle=0)
+            slice_id = sg.reshape(gh, gw).astype(np.int32)
+            ranges = [np.nonzero(sg == g)[0].astype(np.int32)
+                      for g in range(pps.num_slice_groups_minus1 + 1)]
+            ranges = [o for o in ranges if len(o)]
+        else:
+            ranges = self._slice_ranges(gh)
+            slice_id = np.zeros((gh, gw), np.int32)
+            for sid, (r0, r1) in enumerate(ranges):
+                slice_id[r0:r1, :] = sid
         from hartallo_tpu.decode.intra_recon import availability_masks
         avail_l, avail_t = availability_masks(
             slice_id, False, np.zeros((gh, gw), bool))
@@ -262,26 +293,36 @@ class Encoder:
                 if bounds[i + 1] > bounds[i]]
 
     # ------------------------------------------------------------------
-    def _pack_one_slice(self, sid: int, r0: int, r1: int, arrays, qp,
+    def _pack_one_slice(self, sid: int, rng, arrays, qp,
                         mb_kind, *, is_idr: bool, is_p: bool,
                         mvd=None, skip_ok=None, frame_num=None,
                         idr_pic_id=None, poc_lsb=0) -> bytes:
-        """Pack MB rows [r0, r1) as one independent slice NAL (the
-        reference's per-slice bitstream design, hl_codec_264_encode.c)."""
+        """Pack one independent slice NAL (the reference's per-slice
+        bitstream design, hl_codec_264_encode.c).  ``rng`` is either a
+        contiguous MB-row range (r0, r1) or an int32 array of MB
+        addresses in FMO NextMbAddress order."""
         sps, pps = self.sps, self.pps
         gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+        if isinstance(rng, tuple):
+            r0, r1 = rng
+            first_mb = r0 * gw
+            order = None
+        else:
+            order = rng
+            first_mb = int(order[0])
+        fy, fx = first_mb // gw, first_mb % gw
         if frame_num is None:
             frame_num = self.frame_num
         if idr_pic_id is None:
             idr_pic_id = self.idr_pic_id
         hdr = SliceHeader(
-            first_mb_in_slice=r0 * gw,
+            first_mb_in_slice=first_mb,
             slice_type=7 if not is_p else 5,   # all-slices-same convention
             pic_parameter_set_id=pps.pic_parameter_set_id,
             frame_num=0 if is_idr else frame_num,
             idr_pic_id=idr_pic_id if is_idr else 0,
             pic_order_cnt_lsb=poc_lsb if sps.pic_order_cnt_type == 0 else 0,
-            slice_qp_delta=int(qp[r0, 0]) - pps.pic_init_qp,
+            slice_qp_delta=int(qp[fy, fx]) - pps.pic_init_qp,
             disable_deblocking_filter_idc=0 if self.cfg.deblock else 1)
         w = BitWriter()
         ntype = N.NAL_SLICE_IDR if is_idr else N.NAL_SLICE
@@ -290,7 +331,8 @@ class Encoder:
         write_slice_header(w, hdr, sps, pps, nal_ref_idc=ref_idc,
                            is_idr=is_idr)
         from hartallo_tpu import native
-        if native.available():
+        if native.available() and order is None:
+            r0, r1 = rng
             hdr_bytes, hdr_bits = w.partial()
             rbsp = native.pack_slice_data(
                 hdr_bytes, hdr_bits, gw, gh, hdr.slice_qp(pps), is_p, 1,
@@ -300,23 +342,26 @@ class Encoder:
         packer = FramePacker(gw, gh, arrays, qp, mb_kind)
         qp_state = [hdr.slice_qp(pps)]
         run = 0
-        for my in range(r0, r1):
-            for mx in range(gw):
-                if not is_p:
-                    packer.write_i_mb(w, mx, my, qp_state, sid)
-                    continue
-                if skip_ok is not None and skip_ok[my, mx]:
-                    packer.mark_skip(mx, my, sid)
-                    run += 1
-                    continue
-                w.ue(run)
-                run = 0
-                if mb_kind[my, mx] <= 2:
-                    packer.write_i_mb(w, mx, my, qp_state, sid,
-                                      slice_is_p=True)
-                else:
-                    packer.write_p_mb(w, mx, my, qp_state, sid, mvd,
-                                      num_ref=1)
+        if order is None:
+            r0, r1 = rng
+            order = range(r0 * gw, r1 * gw)
+        for addr in order:
+            my, mx = addr // gw, addr % gw
+            if not is_p:
+                packer.write_i_mb(w, mx, my, qp_state, sid)
+                continue
+            if skip_ok is not None and skip_ok[my, mx]:
+                packer.mark_skip(mx, my, sid)
+                run += 1
+                continue
+            w.ue(run)
+            run = 0
+            if mb_kind[my, mx] <= 2:
+                packer.write_i_mb(w, mx, my, qp_state, sid,
+                                  slice_is_p=True)
+            else:
+                packer.write_p_mb(w, mx, my, qp_state, sid, mvd,
+                                  num_ref=1)
         if is_p and run > 0:
             w.ue(run)
         w.write_rbsp_trailing_bits()
@@ -334,19 +379,19 @@ class Encoder:
                     max_workers=min(self.cfg.threads, len(ranges))) as ex:
                 parts = list(ex.map(
                     lambda t: self._pack_one_slice(
-                        t[0], t[1][0], t[1][1], arrays, qp, mb_kind,
+                        t[0], t[1], arrays, qp, mb_kind,
                         is_idr=is_idr, is_p=is_p, mvd=mvd, skip_ok=skip_ok,
                         frame_num=frame_num, idr_pic_id=idr_pic_id,
                         poc_lsb=poc_lsb),
                     enumerate(ranges)))
         else:
-            parts = [self._pack_one_slice(sid, r0, r1, arrays, qp, mb_kind,
+            parts = [self._pack_one_slice(sid, rng, arrays, qp, mb_kind,
                                           is_idr=is_idr, is_p=is_p,
                                           mvd=mvd, skip_ok=skip_ok,
                                           frame_num=frame_num,
                                           idr_pic_id=idr_pic_id,
                                           poc_lsb=poc_lsb)
-                     for sid, (r0, r1) in enumerate(ranges)]
+                     for sid, rng in enumerate(ranges)]
         return b"".join(parts)
 
     # ------------------------------------------------------------------
