@@ -1,0 +1,188 @@
+"""GOP-batched decode: K frames per device dispatch.
+
+The round-2 decoder dispatched one fused program per frame; the ~20-30 ms
+tunnel round trip per dispatch capped CIF decode near 36 fps regardless
+of kernel speed.  This module batches K frames into ONE jitted program:
+
+- everything frame-independent (residual dequant+IDCT in wide layouts,
+  boundary strengths) is computed batched over all K frames up front
+  (``ops/wide.py``);
+- a ``lax.scan`` then walks the frames in decode order carrying the DPB
+  as a device-resident ring of reference planes.  Each reference slot
+  stores the four half-pel grids [G, b, h, j], computed once when a
+  frame enters the ring, so quarter-pel MC is two 4x4 gathers + an
+  average instead of the old 16-case bank over 9x9 windows;
+- the intra wavefront only runs on frames that contain intra MBs
+  (``lax.cond`` on a per-frame flag) — P frames skip it entirely;
+- per-frame ``ref_idx`` values are pre-mapped by the host to ring slots,
+  so reference selection inside the scan is a plain gather.
+
+Reference counterpart: the per-picture decode driver
+``hl_codec_264_decode_avc.c:55-263``; the ring replaces the DPB's frame
+stores + per-resolution interpolation index objects
+(``hl_codec_264_dpb.c:51-139``).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hartallo_tpu.core.tables import QP_SCALE_CHROMA
+from hartallo_tpu.decode.d_fused import DEC_FIELDS
+from hartallo_tpu.decode.intra_recon import PAD, intra_reconstruct
+from hartallo_tpu.ops.deblock import deblock_frame
+from hartallo_tpu.ops.wide import (blocks_to_plane, compute_bs_grids,
+                                   halfpel_planes, mc_chroma_wide,
+                                   mc_grids, mc_luma_wide,
+                                   residual_planes_wide)
+
+_J_QPC = jnp.asarray(QP_SCALE_CHROMA)
+
+_OFF = {}
+_o = 0
+for _name, _shape in DEC_FIELDS:
+    _w = int(np.prod(_shape, dtype=int)) if _shape else 1
+    _OFF[_name] = (_o, _o + _w, _shape)
+    _o += _w
+WORDS = _o
+
+
+def _field(packed, name, gw, gh):
+    """packed (K, Nmb, WORDS) -> (K, gh, gw) + field shape."""
+    o0, o1, shape = _OFF[name]
+    K = packed.shape[0]
+    return packed[:, :, o0:o1].reshape((K, gh, gw) + shape)
+
+
+def ring_shapes(gw: int, gh: int, S: int):
+    Hp, Wp = gh * 16 + 2 * PAD, gw * 16 + 2 * PAD
+    Hc, Wc = gh * 8 + 2 * PAD, gw * 8 + 2 * PAD
+    return (S, 4, Hp, Wp), (S, Hc, Wc), (S, Hc, Wc)
+
+
+@partial(jax.jit, static_argnames=("gw", "gh", "chroma_qp_off"))
+def decode_gop(packed, write_slot, has_intra, ringY, ringU, ringV,
+               *, gw: int, gh: int, chroma_qp_off: int):
+    """packed (K, gh*gw, WORDS) int32; write_slot (K,) int32 (ring slot
+    for the recon; the last slot is the non-reference trash slot);
+    has_intra (K,) bool; ringY (S, 4, Hp, Wp) half-pel stacks;
+    ringU/ringV (S, Hc, Wc).
+
+    Returns (out_u8 (K, H*3//2, W) uint8, ringY, ringU, ringV)."""
+    K = packed.shape[0]
+    H, W = gh * 16, gw * 16
+    M = K * gh * gw
+    N = gh * gw * 16
+
+    # ---- frame-independent precompute (batched over K) ----------------
+    qp = _field(packed, "qp", gw, gh)                        # (K,gh,gw)
+    kind = _field(packed, "kind", gw, gh)
+    res_y, res_c = residual_planes_wide(
+        packed[:, :, slice(*_OFF["luma_ac"][:2])].reshape(M, 16, 16),
+        packed[:, :, slice(*_OFF["luma_dc"][:2])].reshape(M, 16),
+        packed[:, :, slice(*_OFF["chroma_ac"][:2])].reshape(M, 2, 4, 16),
+        packed[:, :, slice(*_OFF["chroma_dc"][:2])].reshape(M, 2, 4),
+        qp.reshape(M), (kind == 1).reshape(M), chroma_qp_off,
+        _J_QPC, gw, gh)
+
+    mb_is_intra = (kind <= 2) | (kind == 8)
+    nnz = _field(packed, "nnz", gw, gh) \
+        .transpose(0, 1, 3, 2, 4).reshape(K, 4 * gh, 4 * gw)
+    mv = _field(packed, "mv", gw, gh)                  # (K,gh,gw,4,4,2)
+    mvg = mv.transpose(0, 1, 3, 2, 4, 5).reshape(K, 4 * gh, 4 * gw, 2)
+    ref_slot = _field(packed, "ref_idx", gw, gh)       # (K,gh,gw,4)
+    ref44 = jnp.repeat(jnp.repeat(
+        ref_slot.reshape(K, gh, gw, 2, 2), 2, axis=3), 2, axis=4)
+    refg = ref44.transpose(0, 1, 3, 2, 4).reshape(K, 4 * gh, 4 * gw)
+    bs_vg, bs_hg = compute_bs_grids(
+        mb_is_intra, nnz, mvg, refg,
+        _field(packed, "fmb_v", gw, gh) != 0,
+        _field(packed, "fmb_h", gw, gh) != 0,
+        _field(packed, "fint", gw, gh) != 0)
+    # grid -> (K, gh, gw, edge, seg) form expected by deblock_frame
+    bs_v = bs_vg.reshape(K, gh, 4, gw, 4).transpose(0, 1, 3, 4, 2)
+    bs_h = bs_hg.reshape(K, gh, 4, gw, 4).transpose(0, 1, 3, 2, 4)
+    qpc = _J_QPC[jnp.clip(qp + chroma_qp_off, 0, 51)]
+    qp_l = jnp.concatenate([qp[:, :, :1], qp[:, :, :-1]], axis=2)
+    qp_t = jnp.concatenate([qp[:, :1, :], qp[:, :-1, :]], axis=1)
+    qpc_l = jnp.concatenate([qpc[:, :, :1], qpc[:, :, :-1]], axis=2)
+    qpc_t = jnp.concatenate([qpc[:, :1, :], qpc[:, :-1, :]], axis=1)
+
+    bx, by, cbx, cby = mc_grids(gw, gh)
+    inter_mask = (kind >= 3) & (kind != 8)
+    my_ = jnp.repeat(jnp.repeat(inter_mask, 16, -2), 16, -1)
+    mc_ = jnp.repeat(jnp.repeat(inter_mask, 8, -2), 8, -1)
+
+    xs = (res_y, res_c, write_slot, has_intra,
+          mv.reshape(K, N, 2), ref44.reshape(K, N),
+          kind, qp, qp_l, qp_t, qpc, qpc_l, qpc_t, bs_v, bs_h,
+          _field(packed, "alpha_off", gw, gh),
+          _field(packed, "beta_off", gw, gh),
+          my_, mc_,
+          _field(packed, "i16_mode", gw, gh),
+          _field(packed, "i4_modes", gw, gh),
+          _field(packed, "chroma_mode", gw, gh),
+          _field(packed, "avail_l", gw, gh) != 0,
+          _field(packed, "avail_t", gw, gh) != 0)
+
+    def step(carry, x):
+        rY, rU, rV = carry
+        (ry, rc, wslot, hintra, mvf, slot, knd, qpf, qplf, qptf, qpcf,
+         qpclf, qpctf, bsv, bsh, offa, offb, mY, mC,
+         i16m, i4m, cmode, al, at) = x
+
+        pY = blocks_to_plane(
+            mc_luma_wide(rY, slot, bx, by, mvf[:, 0], mvf[:, 1]), gw, gh)
+        pU = blocks_to_plane(
+            mc_chroma_wide(rU, slot, cbx, cby, mvf[:, 0], mvf[:, 1]),
+            gw, gh)
+        pV = blocks_to_plane(
+            mc_chroma_wide(rV, slot, cbx, cby, mvf[:, 0], mvf[:, 1]),
+            gw, gh)
+        y0 = jnp.pad(jnp.where(mY, jnp.clip(pY + ry, 0, 255), 0), PAD)
+        u0 = jnp.pad(jnp.where(mC, jnp.clip(pU + rc[0], 0, 255), 0), PAD)
+        v0 = jnp.pad(jnp.where(mC, jnp.clip(pV + rc[1], 0, 255), 0), PAD)
+
+        def intra_branch(ops):
+            y, u, v = ops
+            kint = jnp.where(knd == 0, 0, jnp.where(knd == 1, 1, 2))
+            ry_mb = ry.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
+            rc_mb = rc.reshape(2, gh, 8, gw, 8).transpose(1, 3, 0, 2, 4)
+            return intra_reconstruct(
+                (y, u, v), ry_mb, rc_mb, kint, i16m, i4m, cmode, al, at,
+                gw=gw, gh=gh)
+
+        planes = jax.lax.cond(hintra, intra_branch, lambda o: o,
+                              (y0, u0, v0))
+        y2p, u2p, v2p = deblock_frame(
+            planes, bsv, bsh, qpf, qplf, qptf, qpcf, qpclf, qpctf,
+            offa, offb, gw=gw, gh=gh)
+
+        y2 = jax.lax.dynamic_slice(y2p, (PAD, PAD), (H, W))
+        u2 = jax.lax.dynamic_slice(u2p, (PAD, PAD), (H // 2, W // 2))
+        v2 = jax.lax.dynamic_slice(v2p, (PAD, PAD), (H // 2, W // 2))
+        uv = jnp.stack([u2, v2], axis=1).reshape(H // 2, W)
+        out = jnp.concatenate([y2, uv], axis=0).astype(jnp.uint8)
+
+        hp = halfpel_planes(jnp.pad(y2, PAD, mode="edge"))
+        rY = jax.lax.dynamic_update_slice(rY, hp[None], (wslot, 0, 0, 0))
+        rU = jax.lax.dynamic_update_slice(
+            rU, jnp.pad(u2, PAD, mode="edge")[None], (wslot, 0, 0))
+        rV = jax.lax.dynamic_update_slice(
+            rV, jnp.pad(v2, PAD, mode="edge")[None], (wslot, 0, 0))
+        return (rY, rU, rV), out
+
+    (ringY, ringU, ringV), outs = jax.lax.scan(
+        step, (ringY, ringU, ringV), xs)
+    return outs, ringY, ringU, ringV
+
+
+def split_gop_out(a: np.ndarray, gw: int, gh: int) -> np.ndarray:
+    """Host: one (H*3//2, W) uint8 row of the batch -> packed I420."""
+    H, W = gh * 16, gw * 16
+    y = a[:H]
+    uv = a[H:].reshape(H // 2, 2, W // 2)
+    return np.concatenate([y.ravel(), uv[:, 0].ravel(), uv[:, 1].ravel()])

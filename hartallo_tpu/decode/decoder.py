@@ -1,12 +1,21 @@
-"""Decoder front-end: NAL dispatch -> host slice parse -> device pixel
-pipeline -> output frames.  Multi-layer (SVC) aware: per-DQId layer
-contexts with their own DPBs, inter-layer intra (I_BL) via 16-phase
-upsampling of the base reconstruction.
+"""Decoder front-end: NAL dispatch -> host slice parse -> GOP-batched
+device pixel pipeline -> output frames.
+
+The device pipeline is batched: completed pictures are queued and decoded
+K at a time by ONE jitted program (``d_gop.decode_gop``) that scans the
+frames with the DPB held as a device-resident ring of half-pel reference
+stacks.  Pictures the batched program cannot express (I_PCM, SVC I_BL)
+flush the queue and take the general per-frame path.
+
+Multi-layer (SVC) aware: per-DQId layer contexts with their own DPBs,
+inter-layer intra (I_BL) via 16-phase upsampling of the base recon.
 
 Reference parity: ``hl_codec_264.c:79-397`` (_decode), ``hl_codec_264_nal.c``
 (slice pipeline), ``hl_codec_264_decode_avc.c`` (per-picture order),
-``hl_codec_264_decode_svc.c`` (Annex-G layer decode; the reference's own
-SVC decode path is partially stubbed — see BASELINE_MEASURED.md).
+``hl_codec_264_decode_svc.c`` (Annex-G layer decode).  Error tolerance
+mirrors the reference: an undecodable NAL is logged and skipped, the
+stream keeps going (``hl_codec_264.c:250-397``,
+``hl_codec_264_slice.c:1664-1668``).
 """
 from __future__ import annotations
 
@@ -21,16 +30,18 @@ from hartallo_tpu.decode import nal as N
 from hartallo_tpu.decode.dpb import DPB, Frame
 from hartallo_tpu.decode.intra_recon import (PAD, availability_masks,
                                              compute_residuals,
-                                             intra_reconstruct,
-                                             wavefront_schedule)
+                                             intra_reconstruct)
 from hartallo_tpu.decode.params import (PPS, SPS, parse_subset_sps)
 from hartallo_tpu.decode.poc import PocDecoder
 from hartallo_tpu.decode.slice_decode import (MB_I16, MB_I4X4, MB_IBL,
                                               MB_PCM, SliceData,
                                               SliceDecoder)
 from hartallo_tpu.decode.sliceheader import SliceHeader, parse_slice_header
+from hartallo_tpu.util import log
 
 assert PAD == 32  # intra_recon and interpol share the pad geometry
+
+BATCH_K = 8      # frames per device dispatch in the batched path
 
 
 class _Layer:
@@ -40,40 +51,72 @@ class _Layer:
         self.nal: Optional[N.NalHeader] = None
         self.dpb = DPB()
         self.poc = PocDecoder()
-        self.last_recon: Optional[Tuple[np.ndarray, ...]] = None
+        self.last_recon = None
+        # batched-path state
+        self.ring = None                 # (ringY, ringU, ringV)
+        self.ring_key = None             # (gw, gh, S, chroma_qp_off)
+        self.jobs = []                   # queued _Job records
+        self.pending_sync = []           # Frames to upload into the ring
+
+
+class _Job:
+    __slots__ = ("packed", "wslot", "has_intra", "out", "gw", "gh")
+
+    def __init__(self, packed, wslot, has_intra, gw, gh):
+        self.packed = packed
+        self.wslot = wslot
+        self.has_intra = has_intra
+        self.out = None                  # (batch uint8 array, row index)
+        self.gw, self.gh = gw, gh
+
+
+class BatchSlot:
+    """Lazy handle to one frame of a (possibly not yet dispatched) batch.
+    Presents the PendingFrame interface: .gw/.gh/.resolve()."""
+
+    def __init__(self, decoder, layer, job):
+        self._decoder = decoder
+        self._layer = layer
+        self._job = job
+        self.gw, self.gh = job.gw, job.gh
+
+    def resolve(self) -> np.ndarray:
+        from hartallo_tpu.decode.d_gop import split_gop_out
+        if self._job.out is None:
+            self._decoder._flush(self._layer)
+        arr, i = self._job.out
+        return split_gop_out(np.asarray(arr)[i], self.gw, self.gh)
 
 
 class PendingFrame:
-    """Deferred device->host fetch of a decoded frame (lets the device
-    pipeline run ahead of the host across frames — the decode analog of
-    the encoder's async GOP pipeline)."""
+    """Deferred device->host fetch of a single decoded frame (general
+    path)."""
 
     def __init__(self, out_u8, gw: int, gh: int):
         self.out_u8 = out_u8
         self.gw, self.gh = gw, gh
-        try:
-            out_u8.copy_to_host_async()
-        except Exception:
-            pass
 
     def resolve(self) -> np.ndarray:
-        from hartallo_tpu.decode.d_fused import split_out_u8
-        return split_out_u8(np.asarray(self.out_u8), self.gw, self.gh)
+        from hartallo_tpu.decode.d_gop import split_gop_out
+        return split_gop_out(np.asarray(self.out_u8), self.gw, self.gh)
 
 
 def _materialize(result: DecodeResult) -> DecodeResult:
-    if isinstance(result.frame, PendingFrame):
+    if hasattr(result.frame, "resolve"):
         result.frame = result.frame.resolve()
     return result
 
 
 class Decoder:
-    def __init__(self, dqid_min: int = -1, dqid_max: int = -1):
+    def __init__(self, dqid_min: int = -1, dqid_max: int = -1,
+                 batch_k: int = BATCH_K):
         self.sps_map: Dict[int, SPS] = {}
         self.pps_map: Dict[int, PPS] = {}
         self.dqid_min = dqid_min
         self.dqid_max = dqid_max
+        self.batch_k = max(1, batch_k)
         self._sched_cache = {}
+        self._fmo_cache = {}
         self.layers: Dict[int, _Layer] = {}
 
     def _layer(self, dqid: int) -> _Layer:
@@ -84,18 +127,35 @@ class Decoder:
     # ------------------------------------------------------------------
     def decode_nal(self, nal_bytes: bytes) -> DecodeResult:
         """Decode one NAL synchronously (frame fetched before return)."""
-        return _materialize(self.decode_nal_deferred(nal_bytes))
+        r = self.decode_nal_deferred(nal_bytes)
+        self.flush_all()
+        return _materialize(r)
 
-    def decode_annexb(self, data: bytes):
-        """Decode a whole Annex-B stream with the device pipeline running
-        ahead of the host (frames fetched once at the end)."""
+    def decode_annexb(self, data: bytes, tolerant: bool = True):
+        """Decode a whole Annex-B stream with the device pipeline batching
+        GOP frames (one dispatch per K frames; fetched at the end).
+
+        With ``tolerant`` (default, matching the reference's behavior), an
+        undecodable NAL is logged and skipped instead of aborting."""
         from hartallo_tpu.bitio import find_nal_units
         results = []
         for s0, e0 in find_nal_units(data):
-            r = self.decode_nal_deferred(data[s0:e0])
+            try:
+                r = self.decode_nal_deferred(data[s0:e0])
+            except Exception as e:                      # noqa: BLE001
+                if not tolerant:
+                    raise
+                log.warn("decoder", "skipping undecodable NAL "
+                         "(%d bytes): %s", e0 - s0, e)
+                continue
             if r.frame is not None:
                 results.append(r)
+        self.flush_all()
         return [_materialize(r) for r in results]
+
+    def flush_all(self) -> None:
+        for layer in self.layers.values():
+            self._flush(layer)
 
     def decode_nal_deferred(self, nal_bytes: bytes) -> DecodeResult:
         r = BitReader(strip_emulation_prevention(nal_bytes))
@@ -127,28 +187,21 @@ class Decoder:
         no_ilp = nh.svc.no_inter_layer_pred_flag if (svc_ext and nh.svc) \
             else 1
         quality_id = nh.svc.quality_id if (svc_ext and nh.svc) else 0
-        sh = None
-        for pps in self.pps_map.values():
-            sps = self.sps_map.get(pps.seq_parameter_set_id)
-            if sps is None:
-                continue
-            probe = BitReader(r.data)
-            probe.pos = r.pos
-            try:
-                cand = parse_slice_header(
-                    probe, sps, pps, nal_ref_idc=nh.ref_idc,
-                    is_idr=nh.is_idr, svc_ext=svc_ext,
-                    no_inter_layer_pred=bool(no_ilp),
-                    quality_id=quality_id)
-            except Exception:
-                continue
-            if cand.pic_parameter_set_id == pps.pic_parameter_set_id:
-                sh, r = cand, probe
-                break
-        if sh is None:
-            raise ValueError("no matching PPS for slice")
-        pps = self.pps_map[sh.pic_parameter_set_id]
-        sps = self.sps_map[pps.seq_parameter_set_id]
+        # pic_parameter_set_id is the 3rd ue(v) of every slice header —
+        # read it directly instead of trial-parsing under every PPS
+        probe = BitReader(r.data)
+        probe.pos = r.pos
+        probe.ue()                       # first_mb_in_slice
+        probe.ue()                       # slice_type
+        pps_id = probe.ue()
+        pps = self.pps_map.get(pps_id)
+        sps = self.sps_map.get(pps.seq_parameter_set_id) if pps else None
+        if pps is None or sps is None:
+            raise ValueError(f"slice references unknown PPS {pps_id}")
+        sh = parse_slice_header(
+            r, sps, pps, nal_ref_idc=nh.ref_idc, is_idr=nh.is_idr,
+            svc_ext=svc_ext, no_inter_layer_pred=bool(no_ilp),
+            quality_id=quality_id)
         gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
 
         layer = self._layer(dqid)
@@ -162,11 +215,17 @@ class Decoder:
         scan_order = None
         if pps.num_slice_groups_minus1 > 0:
             # FMO: non-raster MB visit order per the slice-group map
-            # (8.2.2, hl_codec_264_fmo.c:16-208)
+            # (8.2.2, hl_codec_264_fmo.c:16-208); the map is identical for
+            # every slice of the picture — computed once and cached
             from hartallo_tpu.decode.fmo import (mb_to_slice_group_map,
                                                  slice_scan_order)
-            sg_map = mb_to_slice_group_map(sps, pps,
-                                           sh.slice_group_change_cycle)
+            key = (pps.pic_parameter_set_id, sps.seq_parameter_set_id,
+                   sh.slice_group_change_cycle)
+            sg_map = self._fmo_cache.get(key)
+            if sg_map is None:
+                sg_map = mb_to_slice_group_map(sps, pps,
+                                               sh.slice_group_change_cycle)
+                self._fmo_cache[key] = sg_map
             scan_order = slice_scan_order(sg_map, sh.first_mb_in_slice)
         dec.decode_slice_data(r, sh, svc_inter_layer=svc_il,
                               scan_order=scan_order)
@@ -190,39 +249,61 @@ class Decoder:
         has_pcm = bool((sd.mb_kind == MB_PCM).any())
         has_ibl = bool((sd.mb_kind == MB_IBL).any())
         if not has_pcm and not has_ibl:
-            return self._reconstruct_fused(sps, pps, sh, nh, sd, layer)
+            return self._enqueue_batched(sps, pps, sh, nh, sd, layer)
         return self._reconstruct_general(sps, pps, sh, nh, sd, layer, dqid)
 
     # ------------------------------------------------------------------
-    def _reconstruct_fused(self, sps: SPS, pps: PPS, sh: SliceHeader,
-                           nh: N.NalHeader, sd: SliceData,
-                           layer: _Layer) -> "PendingFrame":
-        """Fast path: whole-frame fused device program, one packed upload,
-        one (deferred) fetch.  Covers AVC I/P frames without I_PCM/I_BL."""
-        from hartallo_tpu.decode.d_fused import (decode_frame_fused,
-                                                 pack_slice_arrays)
+    # Batched path
+    # ------------------------------------------------------------------
+    def _ring_slots(self, sps: SPS) -> int:
+        return max(1, sps.max_num_ref_frames) + 1     # last = trash
+
+    def _enqueue_batched(self, sps: SPS, pps: PPS, sh: SliceHeader,
+                        nh: N.NalHeader, sd: SliceData, layer: _Layer):
+        """Queue one completed picture for the GOP-batched device program;
+        flushes automatically at batch_k."""
+        from hartallo_tpu.decode.d_fused import pack_slice_arrays
         gw, gh = sd.gw, sd.gh
+        S = self._ring_slots(sps)
+        key = (gw, gh, S, pps.chroma_qp_index_offset)
+        if layer.ring_key != key:
+            self._flush(layer)
+            layer.ring_key = key
+            layer.ring = None
+        # frames decoded before the ring existed need slots
+        for f in layer.dpb.frames:
+            if f.slot < 0:
+                used = {g.slot for g in layer.dpb.frames if g.slot >= 0}
+                f.slot = next(s for s in range(S - 1) if s not in used)
+
         has_inter = bool(((sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)).any())
-        dummy = jnp.zeros((1, 1, 1), jnp.int32)
-        ry = ru = rv = dummy
         if has_inter:
             from hartallo_tpu.decode.mv import derive_mvs
             derive_mvs(sd)
+            layer.dpb.max_refs = sps.max_num_ref_frames
             reflist = layer.dpb.ref_list_p(
                 sh.frame_num, sps.max_frame_num,
                 mods=sh.ref_pic_list_mods_l0,
                 num_active=sh.num_ref_idx_l0_active_minus1 + 1)
             if not reflist:
                 raise ValueError("P slice without reference frames")
-            ry = jnp.stack([fr.planes_pad[0] for fr in reflist])
-            ru = jnp.stack([fr.planes_pad[1] for fr in reflist])
-            rv = jnp.stack([fr.planes_pad[2] for fr in reflist])
+            for f in reflist:
+                # frames decoded outside the batched path must be
+                # uploaded into the ring before this batch runs (they may
+                # be evicted from the DPB before the flush — record now)
+                if not f.in_ring and f.planes_pad is not None:
+                    layer.pending_sync.append(f)
+                    f.in_ring = True
+            slot_of = np.array([f.slot for f in reflist], np.int32)
+            sd.ref_idx = slot_of[np.clip(sd.ref_idx.astype(np.int64), 0,
+                                         len(reflist) - 1)]
+        else:
+            sd.ref_idx = np.zeros_like(sd.ref_idx, dtype=np.int32)
 
         mb_is_inter = (sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)
         al, at = availability_masks(sd.slice_id,
                                     bool(pps.constrained_intra_pred_flag),
                                     mb_is_inter)
-        deblock = bool((sd.deblock_idc != 1).any())
         idc = sd.deblock_idc.astype(np.int32)
         filter_internal = idc != 1
         same_l = np.zeros((gh, gw), bool)
@@ -238,25 +319,84 @@ class Decoder:
 
         packed = pack_slice_arrays(sd, al, at, fmb_v, fmb_h,
                                    filter_internal)
-        out_u8, padY, padU, padV = decode_frame_fused(
-            jnp.asarray(packed), ry, ru, rv, gw=gw, gh=gh,
-            has_inter=has_inter,
-            chroma_qp_off=pps.chroma_qp_index_offset, deblock=deblock)
 
-        pending = PendingFrame(out_u8, gw, gh)
-        layer.last_recon = pending          # IBL upsample resolves lazily
         layer.dpb.max_refs = sps.max_num_ref_frames
         mmco5 = any(m.op == 5 for m in (sh.mmcos or []))
         poc = layer.poc.compute(sps, sh, nh.ref_idc, nh.is_idr, mmco5)
+        wslot = S - 1                                      # trash
         if nh.ref_idc != 0:
-            layer.dpb.add(Frame(frame_num=sh.frame_num, poc=poc,
-                                planes_pad=(padY, padU, padV)),
-                          mmcos=sh.mmcos or None,
-                          idr=nh.is_idr,
+            fr = Frame(frame_num=sh.frame_num, poc=poc, planes_pad=None,
+                       in_ring=True)
+            layer.dpb.add(fr, mmcos=sh.mmcos or None, idr=nh.is_idr,
                           long_term_reference_flag=sh
                           .long_term_reference_flag)
-        return pending, poc
+            used = {f.slot for f in layer.dpb.frames
+                    if f is not fr and f.slot >= 0}
+            wslot = next(s for s in range(S - 1) if s not in used)
+            fr.slot = wslot
 
+        has_intra = bool((~mb_is_inter).any())
+        job = _Job(packed, wslot, has_intra, gw, gh)
+        layer.jobs.append(job)
+        slot = BatchSlot(self, layer, job)
+        layer.last_recon = slot
+        if len(layer.jobs) >= self.batch_k:
+            self._flush(layer)
+        return slot, poc
+
+    def _flush(self, layer: _Layer) -> None:
+        """Dispatch all queued pictures of this layer as one device
+        program and record the (deferred) outputs."""
+        if not layer.jobs:
+            return
+        from hartallo_tpu.decode.d_gop import (decode_gop, ring_shapes)
+        from hartallo_tpu.ops.wide import halfpel_planes
+        jobs, layer.jobs = layer.jobs, []
+        gw, gh, S, cqoff = layer.ring_key
+        if layer.ring is None:
+            shY, shU, shV = ring_shapes(gw, gh, S)
+            layer.ring = (jnp.zeros(shY, jnp.int32),
+                          jnp.zeros(shU, jnp.int32),
+                          jnp.zeros(shV, jnp.int32))
+        ringY, ringU, ringV = layer.ring
+        # sync reference frames decoded outside the batched path
+        sync, layer.pending_sync = layer.pending_sync, []
+        for f in sync:
+            if f.slot >= 0 and f.planes_pad is not None:
+                hp = halfpel_planes(f.planes_pad[0].astype(jnp.int32))
+                ringY = ringY.at[f.slot].set(hp)
+                ringU = ringU.at[f.slot].set(
+                    f.planes_pad[1].astype(jnp.int32))
+                ringV = ringV.at[f.slot].set(
+                    f.planes_pad[2].astype(jnp.int32))
+        packed = np.stack([j.packed for j in jobs])
+        wslot = np.array([j.wslot for j in jobs], np.int32)
+        hintra = np.array([j.has_intra for j in jobs], bool)
+        outs, ringY, ringU, ringV = decode_gop(
+            jnp.asarray(packed), jnp.asarray(wslot), jnp.asarray(hintra),
+            ringY, ringU, ringV, gw=gw, gh=gh, chroma_qp_off=cqoff)
+        layer.ring = (ringY, ringU, ringV)
+        try:
+            outs.copy_to_host_async()
+        except Exception:                                # noqa: BLE001
+            pass
+        for i, j in enumerate(jobs):
+            j.out = (outs, i)
+
+    def _materialize_ring_frames(self, layer: _Layer) -> None:
+        """Give every in-ring DPB frame concrete padded planes (for the
+        general per-frame path)."""
+        if layer.ring is None:
+            return
+        self._flush(layer)
+        ringY, ringU, ringV = layer.ring
+        for f in layer.dpb.frames:
+            if f.in_ring and f.planes_pad is None and f.slot >= 0:
+                f.planes_pad = (ringY[f.slot, 0], ringU[f.slot],
+                                ringV[f.slot])
+
+    # ------------------------------------------------------------------
+    # General path (I_PCM / SVC I_BL)
     # ------------------------------------------------------------------
     def _reconstruct_general(self, sps: SPS, pps: PPS, sh: SliceHeader,
                              nh: N.NalHeader, sd: SliceData, layer: _Layer,
@@ -264,6 +404,8 @@ class Decoder:
         from hartallo_tpu.decode.d_device import (crop_to_host,
                                                   decode_frame_pre,
                                                   edge_pad_device)
+        self._flush(layer)
+        self._materialize_ring_frames(layer)
         gw, gh = sd.gw, sd.gh
         W, H = gw * 16, gh * 16
 
@@ -275,6 +417,7 @@ class Decoder:
         if has_inter:
             from hartallo_tpu.decode.mv import derive_mvs
             derive_mvs(sd)
+            layer.dpb.max_refs = sps.max_num_ref_frames
             reflist = layer.dpb.ref_list_p(
                 sh.frame_num, sps.max_frame_num,
                 mods=sh.ref_pic_list_mods_l0,
@@ -294,7 +437,7 @@ class Decoder:
             base = self.layers.get(base_dqid)
             if base is None or base.last_recon is None:
                 raise ValueError("I_BL without decoded base layer")
-            if isinstance(base.last_recon, PendingFrame):
+            if hasattr(base.last_recon, "resolve"):
                 pf = base.last_recon
                 flat = pf.resolve()
                 bw, bh = pf.gw * 16, pf.gh * 16
@@ -367,11 +510,17 @@ class Decoder:
         if nh.ref_idc != 0:
             planes_pad = (edge_pad_device(pY), edge_pad_device(pU),
                           edge_pad_device(pV))
-            layer.dpb.add(Frame(frame_num=sh.frame_num, poc=poc,
-                                planes_pad=planes_pad),
-                          mmcos=sh.mmcos or None,
-                          idr=nh.is_idr,
-                          long_term_reference_flag=sh.long_term_reference_flag)
+            fr = Frame(frame_num=sh.frame_num, poc=poc,
+                       planes_pad=planes_pad)
+            layer.dpb.add(fr, mmcos=sh.mmcos or None, idr=nh.is_idr,
+                          long_term_reference_flag=sh
+                          .long_term_reference_flag)
+            if layer.ring_key is not None:
+                S = layer.ring_key[2]
+                used = {f.slot for f in layer.dpb.frames
+                        if f is not fr and f.slot >= 0}
+                free = [s for s in range(S - 1) if s not in used]
+                fr.slot = free[0] if free else -1
 
         frame = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
         return frame, poc

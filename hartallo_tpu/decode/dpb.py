@@ -20,10 +20,14 @@ import numpy as np
 class Frame:
     frame_num: int
     poc: int
-    planes_pad: tuple          # (Y, U, V) padded jnp arrays (MC-ready)
+    planes_pad: Optional[tuple]  # (Y, U, V) padded jnp arrays (MC-ready);
+    #                              None while the recon lives only in the
+    #                              batched decoder's device ring
     is_ref: bool = True
     long_term: bool = False
     long_term_idx: int = -1
+    slot: int = -1               # ring slot (batched decode path)
+    in_ring: bool = False        # recon (incl. half-pel stack) in the ring
 
 
 @dataclass

@@ -151,13 +151,9 @@ def i_frame_fused(src_u8, qp, lam, avail_l, avail_t, *, gw: int, gh: int,
     return packed, mad, recY, recU, recV
 
 
-@partial(jax.jit, static_argnames=("gw", "gh", "rng", "refine",
-                                   "chroma_qp_off", "deblock"))
-def p_frame_fused(src_u8, refY, refU, refV, qp, lam, *, gw: int, gh: int,
+def _p_frame_body(src_u8, refY, refU, refV, qp, lam, *, gw: int, gh: int,
                   rng: int, refine: bool, chroma_qp_off: int,
                   deblock: bool):
-    """P frame: fused ME/MC/transform/recon + in-loop deblock + packed
-    output.  Returns (packed, mad_sum, recY, recU, recV)."""
     H, W = gh * 16, gw * 16
     srcY, srcU, srcV = _split_src(src_u8, gw, gh)
     wq, dcq, acq, mv44, choice, recY, recU, recV = p_frame_device(
@@ -178,3 +174,41 @@ def p_frame_fused(src_u8, refY, refU, refV, qp, lam, *, gw: int, gh: int,
         jax.lax.dynamic_slice(recY, (PAD, PAD), (H, W))).sum(
         dtype=jnp.int32)
     return packed, mad, recY, recU, recV
+
+
+@partial(jax.jit, static_argnames=("gw", "gh", "rng", "refine",
+                                   "chroma_qp_off", "deblock"))
+def p_frame_fused(src_u8, refY, refU, refV, qp, lam, *, gw: int, gh: int,
+                  rng: int, refine: bool, chroma_qp_off: int,
+                  deblock: bool):
+    """P frame: fused ME/MC/transform/recon + in-loop deblock + packed
+    output.  Returns (packed, mad_sum, recY, recU, recV)."""
+    return _p_frame_body(src_u8, refY, refU, refV, qp, lam, gw=gw, gh=gh,
+                         rng=rng, refine=refine,
+                         chroma_qp_off=chroma_qp_off, deblock=deblock)
+
+
+@partial(jax.jit, static_argnames=("gw", "gh", "rng", "refine",
+                                   "chroma_qp_off", "deblock"))
+def p_gop_fused(src_k_u8, refY, refU, refV, qp_k, lam_k, *, gw: int,
+                gh: int, rng: int, refine: bool, chroma_qp_off: int,
+                deblock: bool):
+    """K consecutive P frames in ONE device program: a ``lax.scan`` over
+    frames carrying the deblocked recon (the TPU analog of the per-frame
+    DPB hand-off, without K host round trips).
+
+    src_k_u8 (K, H*3//2, W) uint8; qp_k (K, gh, gw); lam_k (K,) f32.
+    Returns (packed (K, gh*gw, n) int32, mad (K,), recY, recU, recV)."""
+
+    def body(carry, x):
+        refY, refU, refV = carry
+        src_u8, qp, lam = x
+        packed, mad, recY, recU, recV = _p_frame_body(
+            src_u8, refY, refU, refV, qp, lam, gw=gw, gh=gh, rng=rng,
+            refine=refine, chroma_qp_off=chroma_qp_off, deblock=deblock)
+        return (recY, recU, recV), (packed, mad)
+
+    carry, (packed_k, mad_k) = jax.lax.scan(
+        body, (refY, refU, refV), (src_k_u8, qp_k, lam_k))
+    recY, recU, recV = carry
+    return packed_k, mad_k, recY, recU, recV

@@ -118,17 +118,104 @@ class Encoder:
         return self.finish_frame(self.encode_frame_async(frame, width,
                                                          height))
 
+    # chunk sizes for the scan-batched P path (greedy largest-first so a
+    # GOP of any length compiles at most four distinct programs)
+    P_CHUNKS = (8, 4, 2, 1)
+
     def encode_frames(self, frames, width: int, height: int):
-        """Pipelined GOP encode: device passes for frame n+1 are dispatched
-        (async) while the host is still fetching/CAVLC-packing frame n —
-        the TPU analog of the reference's encode-thread/bitstream-thread
-        overlap.  Returns a list of EncodeResults in order."""
+        """GOP-batched encode: the I frame is one fused dispatch; runs of
+        P frames are encoded K at a time by a single scanned device
+        program (``e_device.p_gop_fused``) carrying the recon on device —
+        one dispatch and one coefficient fetch per chunk instead of per
+        frame.  Returns a list of EncodeResults in order."""
         if self.cfg.rc_bitrate and self.cfg.rc_bitrate > 0:
             # rate control closes the loop through real packed bits:
             # genuinely serial, frame at a time
             return [self.encode_frame(f, width, height) for f in frames]
-        pend = [self.encode_frame_async(f, width, height) for f in frames]
+        frames = list(frames)
+        pend = []
+        i = 0
+        while i < len(frames):
+            if self.gop_left <= 0 or self._ref_planes is None:
+                pend.append(self.encode_frame_async(frames[i], width,
+                                                    height))
+                i += 1
+                continue
+            n_p = min(self.gop_left, len(frames) - i)
+            b = next(c for c in self.P_CHUNKS if c <= n_p)
+            pend.extend(self._encode_p_chunk_async(frames[i:i + b],
+                                                   width, height))
+            i += b
         return [self.finish_frame(p) for p in pend]
+
+    # ------------------------------------------------------------------
+    def _slice_layout(self, gw: int, gh: int):
+        """(ranges, slice_id, avail_l, avail_t) for the frame's slices."""
+        from hartallo_tpu.decode.intra_recon import availability_masks
+        if self.cfg.num_slice_groups > 1:
+            # FMO: one slice per group, MBs visited in NextMbAddress order
+            from hartallo_tpu.decode.fmo import mb_to_slice_group_map
+            sg = mb_to_slice_group_map(self.sps, self.pps,
+                                       slice_group_change_cycle=0)
+            slice_id = sg.reshape(gh, gw).astype(np.int32)
+            ranges = [np.nonzero(sg == g)[0].astype(np.int32)
+                      for g in range(self.pps.num_slice_groups_minus1 + 1)]
+            ranges = [o for o in ranges if len(o)]
+        else:
+            ranges = self._slice_ranges(gh)
+            slice_id = np.zeros((gh, gw), np.int32)
+            for sid, (r0, r1) in enumerate(ranges):
+                slice_id[r0:r1, :] = sid
+        avail_l, avail_t = availability_masks(
+            slice_id, False, np.zeros((gh, gw), bool))
+        return ranges, slice_id, avail_l, avail_t
+
+    # ------------------------------------------------------------------
+    def _encode_p_chunk_async(self, chunk, width: int, height: int):
+        """Dispatch K consecutive P frames as one scanned device program;
+        returns K pending records for finish_frame (fixed-QP path)."""
+        from hartallo_tpu.encode.e_device import p_gop_fused, pack_src
+        sps, pps = self.sps, self.pps
+        gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+        K = len(chunk)
+        src_k = np.stack([pack_src(f, width, height, gw, gh)
+                          for f in chunk])
+        qp_val = self.cfg.qp
+        qp = np.full((gh, gw), qp_val, np.int32)
+        lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp_val - 12) / 3.0)))
+        ranges, slice_id, _, _ = self._slice_layout(gw, gh)
+
+        refY, refU, refV = self._ref_planes
+        R = int(min(self.cfg.me_range, PAD - 8))
+        packed_k, mad_k, recY, recU, recV = p_gop_fused(
+            jnp.asarray(src_k), refY, refU, refV,
+            jnp.broadcast_to(jnp.asarray(qp), (K, gh, gw)),
+            jnp.full((K,), lam, jnp.float32),
+            gw=gw, gh=gh, rng=R, refine=self.cfg.me_range > 0,
+            chroma_qp_off=pps.chroma_qp_index_offset,
+            deblock=bool(self.cfg.deblock))
+        self._ref_planes = (recY, recU, recV)
+        try:
+            packed_k.copy_to_host_async()
+        except Exception:                                # noqa: BLE001
+            pass
+        shared = {"dev": packed_k, "np": None}
+        pends = []
+        for k in range(K):
+            self.gop_left -= 1
+            frame_num = self.frame_num
+            poc_lsb = (2 * self._poc_cnt) % 256
+            self._poc_cnt += 1
+            self.frame_num = (self.frame_num + 1) % sps.max_frame_num
+            self.frame_idx += 1
+            pends.append({"packed_shared": (shared, k), "mad": 0,
+                          "is_idr": False, "qp": qp, "qp_val": qp_val,
+                          "ranges": ranges, "slice_id": slice_id,
+                          "gw": gw, "gh": gh, "width": width,
+                          "height": height, "frame_num": frame_num,
+                          "idr_pic_id": self.idr_pic_id,
+                          "poc_lsb": poc_lsb})
+        return pends
 
     # ------------------------------------------------------------------
     def encode_frame_async(self, frame, width: int, height: int):
@@ -169,23 +256,7 @@ class Encoder:
 
         qp = np.full((gh, gw), qp_val, np.int32)
         lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp_val - 12) / 3.0)))
-        if self.cfg.num_slice_groups > 1:
-            # FMO: one slice per group, MBs visited in NextMbAddress order
-            from hartallo_tpu.decode.fmo import mb_to_slice_group_map
-            sg = mb_to_slice_group_map(sps, self.pps,
-                                       slice_group_change_cycle=0)
-            slice_id = sg.reshape(gh, gw).astype(np.int32)
-            ranges = [np.nonzero(sg == g)[0].astype(np.int32)
-                      for g in range(pps.num_slice_groups_minus1 + 1)]
-            ranges = [o for o in ranges if len(o)]
-        else:
-            ranges = self._slice_ranges(gh)
-            slice_id = np.zeros((gh, gw), np.int32)
-            for sid, (r0, r1) in enumerate(ranges):
-                slice_id[r0:r1, :] = sid
-        from hartallo_tpu.decode.intra_recon import availability_masks
-        avail_l, avail_t = availability_masks(
-            slice_id, False, np.zeros((gh, gw), bool))
+        ranges, slice_id, avail_l, avail_t = self._slice_layout(gw, gh)
 
         if is_idr:
             packed, mad, recY, recU, recV = i_frame_fused(
@@ -231,7 +302,13 @@ class Encoder:
         gw, gh = pend["gw"], pend["gh"]
         qp, ranges = pend["qp"], pend["ranges"]
         is_idr = pend["is_idr"]
-        buf = np.asarray(pend["packed"])
+        if "packed_shared" in pend:
+            shared, row = pend["packed_shared"]
+            if shared["np"] is None:
+                shared["np"] = np.asarray(shared["dev"])  # one fetch/chunk
+            buf = shared["np"][row]
+        else:
+            buf = np.asarray(pend["packed"])
 
         if is_idr:
             arrays = unpack(buf, INTRA_FIELDS, gh, gw)
