@@ -27,9 +27,9 @@ class CodecConfig:
     rc_bitrate_max: int = -1
     rc_qp_min: int = 2
     rc_qp_max: int = 51
-    rc_basicunit: int = 0
+
     me_range: int = 16
-    me_early_term: bool = False
+
     deblock: bool = True
     threads: int = 1                         # host-side entropy workers
     slices: int = 1                          # slices per frame
@@ -115,14 +115,17 @@ class Codec:
                                     dqid_max=self.config.dqid_max)
         return self._decoder.decode_nal(nal)
 
-    def decode_annexb(self, data: bytes) -> List[DecodeResult]:
+    def decode_annexb(self, data: bytes,
+                      tolerant: bool = True) -> List[DecodeResult]:
         """Whole-stream decode: the device pipeline runs ahead of the host
-        parser (frames fetched in bulk at the end)."""
+        parser (frames fetched in bulk at the end).  With ``tolerant``
+        (default), undecodable NALs are logged and skipped — the
+        reference's behavior (hl_codec_264.c:250-397)."""
         if self._decoder is None:
             from hartallo_tpu.decode.decoder import Decoder
             self._decoder = Decoder(dqid_min=self.config.dqid_min,
                                     dqid_max=self.config.dqid_max)
-        return self._decoder.decode_annexb(data)
+        return self._decoder.decode_annexb(data, tolerant=tolerant)
 
     # -- encode -----------------------------------------------------------
     def encode(self, frame: np.ndarray, width: int = 0,

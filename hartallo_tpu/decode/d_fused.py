@@ -34,15 +34,26 @@ DEC_FIELDS = [
     ("nnz", (4, 4)), ("alpha_off", ()), ("beta_off", ()),
     ("avail_l", ()), ("avail_t", ()),
     ("fmb_v", ()), ("fmb_h", ()), ("fint", ()),
+    # explicit weighted prediction (8.4.2.3.2): per 8x8 partition
+    # [w, o, logWD] for luma and per plane for chroma; identity when the
+    # slice has no pred_weight_table (w=1, o=0, logWD=0)
+    ("wp_l", (4, 3)), ("wp_c", (4, 2, 3)),
 ]
 _DEC_WORDS = sum(int(np.prod(s, dtype=int)) if s else 1
                  for _, s in DEC_FIELDS)
 
 
-def pack_slice_arrays(sd, al, at, fmb_v, fmb_h, fint) -> np.ndarray:
+def pack_slice_arrays(sd, al, at, fmb_v, fmb_h, fint,
+                      wp_l=None, wp_c=None) -> np.ndarray:
     """Host: SliceData + availability/filter masks -> (gh*gw, W) int32."""
     gh, gw = sd.gh, sd.gw
     n = gh * gw
+    if wp_l is None:
+        wp_l = np.zeros((gh, gw, 4, 3), np.int32)
+        wp_l[..., 0] = 1
+    if wp_c is None:
+        wp_c = np.zeros((gh, gw, 4, 2, 3), np.int32)
+        wp_c[..., 0] = 1
     nnz_mb = sd.nnz_luma.reshape(gh, 4, gw, 4).transpose(0, 2, 1, 3)
     vals = {
         "luma_ac": sd.luma_ac, "luma_dc": sd.luma_dc,
@@ -53,6 +64,7 @@ def pack_slice_arrays(sd, al, at, fmb_v, fmb_h, fint) -> np.ndarray:
         "alpha_off": sd.alpha_off, "beta_off": sd.beta_off,
         "avail_l": al, "avail_t": at,
         "fmb_v": fmb_v, "fmb_h": fmb_h, "fint": fint,
+        "wp_l": wp_l, "wp_c": wp_c,
     }
     parts = []
     for name, shape in DEC_FIELDS:

@@ -33,11 +33,10 @@ import numpy as np
 from hartallo_tpu.core.tables import QP_SCALE_CHROMA
 from hartallo_tpu.decode.d_fused import DEC_FIELDS
 from hartallo_tpu.decode.intra_recon import PAD, intra_reconstruct
-from hartallo_tpu.ops.deblock import deblock_frame
-from hartallo_tpu.ops.wide import (blocks_to_plane, compute_bs_grids,
-                                   halfpel_planes, mc_chroma_wide,
-                                   mc_grids, mc_luma_wide,
-                                   residual_planes_wide)
+from hartallo_tpu.ops.deblock import deblock_frame_s1 as deblock_frame
+from hartallo_tpu.ops.wide import (compute_bs_grids, halfpel_planes,
+                                   mc_chroma_plane, mc_grids,
+                                   mc_luma_plane, residual_planes_wide)
 
 _J_QPC = jnp.asarray(QP_SCALE_CHROMA)
 
@@ -116,8 +115,16 @@ def decode_gop(packed, write_slot, has_intra, ringY, ringU, ringV,
     my_ = jnp.repeat(jnp.repeat(inter_mask, 16, -2), 16, -1)
     mc_ = jnp.repeat(jnp.repeat(inter_mask, 8, -2), 8, -1)
 
+    # weighted prediction: per-8x8 [w, o, logWD] -> per 4x4 block (K, N)
+    wp_l = _field(packed, "wp_l", gw, gh).reshape(K, gh, gw, 2, 2, 3)
+    wp_l = jnp.repeat(jnp.repeat(wp_l, 2, axis=3), 2, axis=4) \
+        .reshape(K, N, 3)
+    wp_c = _field(packed, "wp_c", gw, gh).reshape(K, gh, gw, 2, 2, 2, 3)
+    wp_c = jnp.repeat(jnp.repeat(wp_c, 2, axis=3), 2, axis=4) \
+        .reshape(K, N, 2, 3)
+
     xs = (res_y, res_c, write_slot, has_intra,
-          mv.reshape(K, N, 2), ref44.reshape(K, N),
+          mv.reshape(K, N, 2), ref44.reshape(K, N), wp_l, wp_c,
           kind, qp, qp_l, qp_t, qpc, qpc_l, qpc_t, bs_v, bs_h,
           _field(packed, "alpha_off", gw, gh),
           _field(packed, "beta_off", gw, gh),
@@ -130,18 +137,16 @@ def decode_gop(packed, write_slot, has_intra, ringY, ringU, ringV,
 
     def step(carry, x):
         rY, rU, rV = carry
-        (ry, rc, wslot, hintra, mvf, slot, knd, qpf, qplf, qptf, qpcf,
-         qpclf, qpctf, bsv, bsh, offa, offb, mY, mC,
+        (ry, rc, wslot, hintra, mvf, slot, wpl, wpc, knd, qpf, qplf,
+         qptf, qpcf, qpclf, qpctf, bsv, bsh, offa, offb, mY, mC,
          i16m, i4m, cmode, al, at) = x
 
-        pY = blocks_to_plane(
-            mc_luma_wide(rY, slot, bx, by, mvf[:, 0], mvf[:, 1]), gw, gh)
-        pU = blocks_to_plane(
-            mc_chroma_wide(rU, slot, cbx, cby, mvf[:, 0], mvf[:, 1]),
-            gw, gh)
-        pV = blocks_to_plane(
-            mc_chroma_wide(rV, slot, cbx, cby, mvf[:, 0], mvf[:, 1]),
-            gw, gh)
+        pY = mc_luma_plane(rY, slot, bx, by, mvf[:, 0], mvf[:, 1],
+                           wpl, gw, gh)
+        pU = mc_chroma_plane(rU, slot, cbx, cby, mvf[:, 0], mvf[:, 1],
+                             wpc[:, 0], gw, gh)
+        pV = mc_chroma_plane(rV, slot, cbx, cby, mvf[:, 0], mvf[:, 1],
+                             wpc[:, 1], gw, gh)
         y0 = jnp.pad(jnp.where(mY, jnp.clip(pY + ry, 0, 255), 0), PAD)
         u0 = jnp.pad(jnp.where(mC, jnp.clip(pU + rc[0], 0, 255), 0), PAD)
         v0 = jnp.pad(jnp.where(mC, jnp.clip(pV + rc[1], 0, 255), 0), PAD)

@@ -227,8 +227,10 @@ class Decoder:
                                                sh.slice_group_change_cycle)
                 self._fmo_cache[key] = sg_map
             scan_order = slice_scan_order(sg_map, sh.first_mb_in_slice)
+        sid = sd._slice_count
         dec.decode_slice_data(r, sh, svc_inter_layer=svc_il,
                               scan_order=scan_order)
+        sd.wp[sid] = sh.pred_weights
 
         if (sd.mb_kind >= 0).all():
             frame, poc = self._reconstruct(sps, pps, layer.hdr, layer.nal,
@@ -294,10 +296,12 @@ class Decoder:
                 if not f.in_ring and f.planes_pad is not None:
                     layer.pending_sync.append(f)
                     f.in_ring = True
+            wp_l, wp_c = self._weight_arrays(sd, len(reflist))
             slot_of = np.array([f.slot for f in reflist], np.int32)
             sd.ref_idx = slot_of[np.clip(sd.ref_idx.astype(np.int64), 0,
                                          len(reflist) - 1)]
         else:
+            wp_l = wp_c = None
             sd.ref_idx = np.zeros_like(sd.ref_idx, dtype=np.int32)
 
         mb_is_inter = (sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)
@@ -318,7 +322,7 @@ class Decoder:
         fmb_h = filter_internal & has_t & ((idc != 2) | same_t)
 
         packed = pack_slice_arrays(sd, al, at, fmb_v, fmb_h,
-                                   filter_internal)
+                                   filter_internal, wp_l=wp_l, wp_c=wp_c)
 
         layer.dpb.max_refs = sps.max_num_ref_frames
         mmco5 = any(m.op == 5 for m in (sh.mmcos or []))
@@ -343,6 +347,40 @@ class Decoder:
         if len(layer.jobs) >= self.batch_k:
             self._flush(layer)
         return slot, poc
+
+    @staticmethod
+    def _weight_arrays(sd: SliceData, n_refs: int):
+        """Per-8x8 [w, o, logWD] arrays (8.4.2.3.2) from the per-slice
+        pred-weight tables; None when no slice uses explicit weights."""
+        if not any(t is not None for t in sd.wp.values()):
+            return None, None
+        gh, gw = sd.gh, sd.gw
+        wp_l = np.zeros((gh, gw, 4, 3), np.int32)
+        wp_l[..., 0] = 1
+        wp_c = np.zeros((gh, gw, 4, 2, 3), np.int32)
+        wp_c[..., 0] = 1
+        ref = np.clip(sd.ref_idx.astype(np.int64), 0, n_refs - 1)
+        for sid, tab in sd.wp.items():
+            if tab is None:
+                continue
+            mask = sd.slice_id == sid            # (gh, gw)
+            nt = len(tab.luma_w)
+            r = np.minimum(ref, nt - 1)          # (gh, gw, 4)
+            lw = np.asarray(tab.luma_w)[r]
+            lo = np.asarray(tab.luma_o)[r]
+            cw = np.asarray(tab.chroma_w)[r]     # (gh, gw, 4, 2)
+            co = np.asarray(tab.chroma_o)[r]
+            m3 = mask[..., None]
+            wp_l[..., 0] = np.where(m3, lw, wp_l[..., 0])
+            wp_l[..., 1] = np.where(m3, lo, wp_l[..., 1])
+            wp_l[..., 2] = np.where(m3, tab.luma_log2_denom,
+                                    wp_l[..., 2])
+            m4 = mask[..., None, None]
+            wp_c[..., 0] = np.where(m4, cw, wp_c[..., 0])
+            wp_c[..., 1] = np.where(m4, co, wp_c[..., 1])
+            wp_c[..., 2] = np.where(m4, tab.chroma_log2_denom,
+                                    wp_c[..., 2])
+        return wp_l, wp_c
 
     def _flush(self, layer: _Layer) -> None:
         """Dispatch all queued pictures of this layer as one device

@@ -65,8 +65,12 @@ def mb_to_slice_group_map(sps, pps, slice_group_change_cycle: int = 0
             xdir = d - 1
             ydir = d
             k = 0
+            # the clamped spiral re-walks filled cells on skewed pictures;
+            # gw*gh*(gw+gh) bounds the walk provably (each of the gw+gh
+            # ring expansions revisits at most gw*gh cells) — the
+            # reference runs the walk to completion (hl_codec_264_fmo.c)
             guard = 0
-            while k < size0 and guard < 4 * n:
+            while k < size0 and guard < gw * gh * (gw + gh):
                 guard += 1
                 if m[y * gw + x] == 1:
                     m[y * gw + x] = 0

@@ -70,6 +70,9 @@ class SliceData:
     beta_off: np.ndarray = None         # (gh,gw) int8
     # transient parse state
     _slice_count: int = 0
+    # per-slice explicit weighted-prediction tables (sid -> PredWeightTable
+    # or None); applied per MB via slice_id at reconstruction time
+    wp: dict = field(default_factory=dict)
 
     @classmethod
     def create(cls, gw: int, gh: int) -> "SliceData":
@@ -331,13 +334,8 @@ class SliceDecoder:
             sd.beta_off[my, mx] = 2 * hdr.slice_beta_offset_div2
 
         order_it = iter(order)
-        pend = None            # one-address lookahead over the visit order
 
         def next_addr():
-            nonlocal pend
-            if pend is not None:
-                a, pend = pend, None
-                return a
             return next(order_it, None)
 
         while True:

@@ -38,6 +38,68 @@ class MMCO:
 
 
 @dataclass
+class PredWeightTable:
+    """Explicit weighted-prediction table (spec 7.3.3.2, L0 only — the
+    codec scope is P slices).  Weights default to 1 << denom, offsets 0.
+    Note: the reference PARSES this syntax (hl_codec_264_rbsp.c:289-358)
+    but its decoder bails with NOT_IMPLEMENTED on weighted_pred_flag
+    (hl_codec_264_pred_inter.c:118-124); we implement the full 8.4.2.3.2
+    explicit weighted sample prediction."""
+    luma_log2_denom: int = 0
+    chroma_log2_denom: int = 0
+    luma_w: List[int] = field(default_factory=list)     # per refIdx
+    luma_o: List[int] = field(default_factory=list)
+    chroma_w: List[Tuple[int, int]] = field(default_factory=list)
+    chroma_o: List[Tuple[int, int]] = field(default_factory=list)
+
+
+def _parse_pred_weight_table(r: BitReader, num_l0: int) -> PredWeightTable:
+    t = PredWeightTable()
+    t.luma_log2_denom = r.ue()
+    t.chroma_log2_denom = r.ue()
+    for _ in range(num_l0):
+        lw, lo = 1 << t.luma_log2_denom, 0
+        if r.u1():                      # luma_weight_l0_flag
+            lw = r.se()
+            lo = r.se()
+        t.luma_w.append(lw)
+        t.luma_o.append(lo)
+        cw = [1 << t.chroma_log2_denom] * 2
+        co = [0, 0]
+        if r.u1():                      # chroma_weight_l0_flag
+            for j in range(2):
+                cw[j] = r.se()
+                co[j] = r.se()
+        t.chroma_w.append((cw[0], cw[1]))
+        t.chroma_o.append((co[0], co[1]))
+    return t
+
+
+def write_pred_weight_table(w: BitWriter, t: PredWeightTable,
+                            num_l0: int) -> None:
+    w.ue(t.luma_log2_denom)
+    w.ue(t.chroma_log2_denom)
+    for i in range(num_l0):
+        lw = t.luma_w[i] if i < len(t.luma_w) else 1 << t.luma_log2_denom
+        lo = t.luma_o[i] if i < len(t.luma_o) else 0
+        default_l = lw == (1 << t.luma_log2_denom) and lo == 0
+        w.u1(0 if default_l else 1)
+        if not default_l:
+            w.se(lw)
+            w.se(lo)
+        cw = t.chroma_w[i] if i < len(t.chroma_w) else \
+            (1 << t.chroma_log2_denom,) * 2
+        co = t.chroma_o[i] if i < len(t.chroma_o) else (0, 0)
+        default_c = all(cw[j] == (1 << t.chroma_log2_denom) and co[j] == 0
+                        for j in range(2))
+        w.u1(0 if default_c else 1)
+        if not default_c:
+            for j in range(2):
+                w.se(cw[j])
+                w.se(co[j])
+
+
+@dataclass
 class SliceHeader:
     first_mb_in_slice: int = 0
     slice_type: int = SLICE_I
@@ -56,6 +118,7 @@ class SliceHeader:
     no_output_of_prior_pics_flag: int = 0
     long_term_reference_flag: int = 0
     adaptive_ref_pic_marking_mode_flag: int = 0
+    pred_weights: Optional[PredWeightTable] = None
     mmcos: List[MMCO] = field(default_factory=list)
     cabac_init_idc: int = 0
     slice_qp_delta: int = 0
@@ -160,7 +223,8 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, *,
                 h.ref_pic_list_mods_l1 = _parse_ref_pic_list_mods(r)
         if (pps.weighted_pred_flag and base in (SLICE_P, SLICE_SP)) or \
                 (pps.weighted_bipred_idc == 1 and base == SLICE_B):
-            raise NotImplementedError("weighted prediction tables")
+            h.pred_weights = _parse_pred_weight_table(
+                r, h.num_ref_idx_l0_active_minus1 + 1)
         if nal_ref_idc != 0:
             if is_idr:
                 h.no_output_of_prior_pics_flag = r.u1()
@@ -199,7 +263,9 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, *,
         pic_size_in_map_units = (sps.pic_width_in_mbs_minus1 + 1) * \
             (sps.pic_height_in_map_units_minus1 + 1)
         rate = pps.slice_group_change_rate_minus1 + 1
-        bits = math.ceil(math.log2(pic_size_in_map_units // rate + 2))
+        # Ceil(Log2(Ceil(PicSizeInMapUnits / SliceGroupChangeRate) + 1))
+        # (spec 7.4.3; hl_codec_264_slice.c:548-552)
+        bits = math.ceil(math.log2(-(-pic_size_in_map_units // rate) + 1))
         h.slice_group_change_cycle = r.u(bits)
     if svc_ext:
         svc_sps = sps.svc
@@ -267,11 +333,34 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS, *,
         if h.num_ref_idx_active_override_flag:
             w.ue(h.num_ref_idx_l0_active_minus1)
     if base not in (SLICE_I, SLICE_SI):
-        w.u1(0)  # ref_pic_list_modification_flag_l0
+        if h.ref_pic_list_mods_l0:
+            w.u1(1)
+            for mod in h.ref_pic_list_mods_l0:
+                w.ue(mod.idc)
+                w.ue(mod.value)
+            w.ue(3)                     # end of modifications
+        else:
+            w.u1(0)  # ref_pic_list_modification_flag_l0
+    if pps.weighted_pred_flag and base in (SLICE_P, SLICE_SP):
+        write_pred_weight_table(w, h.pred_weights or PredWeightTable(),
+                                h.num_ref_idx_l0_active_minus1 + 1)
     if nal_ref_idc != 0:
         if is_idr:
             w.u1(h.no_output_of_prior_pics_flag)
             w.u1(h.long_term_reference_flag)
+        elif h.mmcos:
+            w.u1(1)  # adaptive_ref_pic_marking_mode_flag
+            for m in h.mmcos:
+                w.ue(m.op)
+                if m.op in (1, 3):
+                    w.ue(m.value1)
+                if m.op == 2:
+                    w.ue(m.value1)
+                if m.op in (3, 6):
+                    w.ue(m.value2)
+                if m.op == 4:
+                    w.ue(m.value1)
+            w.ue(0)
         else:
             w.u1(0)  # adaptive_ref_pic_marking_mode_flag (sliding window)
     w.se(h.slice_qp_delta)

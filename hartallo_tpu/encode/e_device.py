@@ -22,7 +22,8 @@ from hartallo_tpu.core.tables import LUMA_4x4_BLK_XY, QP_SCALE_CHROMA
 from hartallo_tpu.decode.intra_recon import PAD
 from hartallo_tpu.encode.intra_encode import intra_encode_frame
 from hartallo_tpu.encode.p_device import p_frame_device
-from hartallo_tpu.ops.deblock import compute_bs, deblock_frame
+from hartallo_tpu.ops.deblock import compute_bs, \
+    deblock_frame_s1 as deblock_frame
 
 _J_QPC = jnp.asarray(QP_SCALE_CHROMA)
 

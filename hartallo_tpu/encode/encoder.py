@@ -89,8 +89,14 @@ class Encoder:
             if t == 0:
                 pps.run_length_minus1 = [gw - 1] * groups
             elif t == 2:
-                # foreground column-band rectangles; last group = leftover
+                # foreground column-band rectangles; last group = leftover.
+                # clamp so every declared group gets a non-empty band
+                groups = min(groups, gw)
+                pps.num_slice_groups_minus1 = groups - 1
                 xs = [round(i * gw / groups) for i in range(groups + 1)]
+                xs = sorted(set(xs))
+                groups = len(xs) - 1
+                pps.num_slice_groups_minus1 = groups - 1
                 pps.top_left = [xs[g] for g in range(groups - 1)]
                 pps.bottom_right = [(gh - 1) * gw + xs[g + 1] - 1
                                     for g in range(groups - 1)]
@@ -247,7 +253,9 @@ class Encoder:
                     fps=float(fden) / float(fnum),
                     width=width, height=height,
                     gop_size=max(self.cfg.gop_size, 1),
-                    qp_min=self.cfg.rc_qp_min, qp_max=self.cfg.rc_qp_max)
+                    qp_min=self.cfg.rc_qp_min, qp_max=self.cfg.rc_qp_max,
+                    bits_min=float(self.cfg.rc_bitrate_min),
+                    bits_max=float(self.cfg.rc_bitrate_max))
             if is_idr:
                 self._rc.start_gop()
             qp_val = self._rc.frame_qp(is_idr)

@@ -48,6 +48,8 @@ class RateControl:
     qp_last_i: int = 0
     buffer_level: float = 0.0
     target_level: float = 0.0
+    bits_min: float = -1.0          # per-second clamps (rc_bitrate_min/max)
+    bits_max: float = -1.0
     remaining_bits: float = 0.0
     np_left: int = 0
     gop_idx: int = -1
@@ -105,6 +107,11 @@ class RateControl:
         beta = 0.5
         target = beta * t_rem + (1 - beta) * t_buf
         target = max(target, 0.1 * bits_per_frame)
+        # hl_codec-style hard bitrate window: clamp the per-frame target
+        if self.bits_min > 0:
+            target = max(target, self.bits_min / self.fps)
+        if self.bits_max > 0:
+            target = min(target, self.bits_max / self.fps)
 
         # predicted MAD
         mad = self.mad_a1 * self.prev_mad + self.mad_a2

@@ -25,8 +25,8 @@ import numpy as np
 from hartallo_tpu.core.tables import (DEBLOCK_ALPHA, DEBLOCK_BETA,
                                       DEBLOCK_TC0, QP_SCALE_CHROMA)
 from hartallo_tpu.ops.wavefront import (plane_to_tiles, shift_k, skew,
-                                        skew_geometry, tiles_to_plane,
-                                        unskew)
+                                        skew1_geometry, skew_geometry,
+                                        tiles_to_plane, unskew)
 
 _ALPHA = jnp.asarray(DEBLOCK_ALPHA)
 _BETA = jnp.asarray(DEBLOCK_BETA)
@@ -373,6 +373,210 @@ def deblock_frame(planes, bs_v, bs_h, qp_y, qp_left, qp_top,
     newY = tiles_to_plane(unskew(y_tiles, geo))
     newU = tiles_to_plane(unskew(u_tiles, geo))
     newV = tiles_to_plane(unskew(v_tiles, geo))
+    pY = jax.lax.dynamic_update_slice(pY, newY, (PAD, PAD))
+    pU = jax.lax.dynamic_update_slice(pU, newU, (PAD, PAD))
+    pV = jax.lax.dynamic_update_slice(pV, newV, (PAD, PAD))
+    return pY, pU, pV
+
+
+# ---------------------------------------------------------------------------
+# Slope-1 wavefront deblock (fewer steps, single-row carry)
+# ---------------------------------------------------------------------------
+#
+# Deblocking has only left/top MB dependencies, so d = mx + my suffices
+# (gw + gh - 1 steps vs the intra wavefront's gw + 2gh - 1).  Within one
+# step, running ALL vertical-edge filters before ALL horizontal-edge
+# filters reproduces the spec's per-MB raster order exactly: the only
+# same-step interactions are (a) slot k-1's V-edge-0 writing the tile our
+# H-edge-0 reads (raster: that MB precedes us) and (b) slot k+1's
+# H-edge-0 writing the tile our V edges read (raster: that MB follows
+# us) — both honored by the V-then-H phase split.
+
+@partial(jax.jit, static_argnames=("gw", "gh"))
+def deblock_frame_s1(planes, bs_v, bs_h, qp_y, qp_left, qp_top,
+                     qpc_cur, qpc_left, qpc_top,
+                     alpha_off, beta_off, *, gw: int, gh: int):
+    """Same contract as deblock_frame (bit-exact), slope-1 schedule."""
+    pY, pU, pV = planes
+    H, W = gh * 16, gw * 16
+    geo = skew1_geometry(gw, gh)
+    D, K = geo["D"], geo["K"]
+
+    sk = lambda a: skew(a, geo)                                # noqa: E731
+    ty = sk(plane_to_tiles(
+        jax.lax.dynamic_slice(pY, (PAD, PAD), (H, W)), 16))
+    tu = sk(plane_to_tiles(
+        jax.lax.dynamic_slice(pU, (PAD, PAD), (H // 2, W // 2)), 8))
+    tv = sk(plane_to_tiles(
+        jax.lax.dynamic_slice(pV, (PAD, PAD), (H // 2, W // 2)), 8))
+
+    valid = jnp.asarray(geo["valid"])
+    sbv = jnp.where(valid[..., None, None], sk(bs_v), 0)
+    sbh = jnp.where(valid[..., None, None], sk(bs_h), 0)
+    xs = (_pad_rows(ty, 1), _pad_rows(tu, 1), _pad_rows(tv, 1),
+          _pad_rows(sbv, 1), _pad_rows(sbh, 1),
+          _pad_rows(sk(qp_y), 1), _pad_rows(sk(qp_left), 1),
+          _pad_rows(sk(qp_top), 1),
+          _pad_rows(sk(qpc_cur), 1), _pad_rows(sk(qpc_left), 1),
+          _pad_rows(sk(qpc_top), 1),
+          _pad_rows(sk(alpha_off), 1), _pad_rows(sk(beta_off), 1))
+
+    seg16 = jnp.asarray(_SEG16)
+    seg8 = jnp.asarray(_SEG8)
+
+    def idxAB(qp_avg, offa, offb):
+        return (jnp.clip(qp_avg + offa, 0, 51),
+                jnp.clip(qp_avg + offb, 0, 51))
+
+    def step(carry, x):
+        p1y, p1u, p1v = carry
+        (cy, cu, cv, bsv, bsh, qpc_c, qpl, qpt, cqc, cql, cqt,
+         offa, offb) = x
+
+        # ---- V phase: luma vertical edges (left->right) ----------------
+        for e in range(4):
+            qp_avg = ((qpl + qpc_c + 1) >> 1) if e == 0 else qpc_c
+            ia, ib = idxAB(qp_avg, offa, offb)
+            alpha = _ALPHA[ia][:, None]
+            beta = _BETA[ib][:, None]
+            bs_line = bsv[:, e, :][:, seg16]                   # (K,16)
+            tc0 = _TC0[ia[:, None], jnp.clip(bs_line, 0, 3)]
+            if e == 0:
+                cols = [p1y[:, :, 12 + k] for k in range(4)] + \
+                       [cy[:, :, k] for k in range(4)]
+            else:
+                c0 = 4 * e - 4
+                cols = [cy[:, :, c0 + k] for k in range(8)]
+            np2, np1, np0, nq0, nq1, nq2 = _filter_luma_line(
+                cols[0], cols[1], cols[2], cols[3], cols[4], cols[5],
+                cols[6], cols[7], bs_line, alpha, beta, tc0)
+            if e == 0:
+                p1y = p1y.at[:, :, 13].set(np2)
+                p1y = p1y.at[:, :, 14].set(np1)
+                p1y = p1y.at[:, :, 15].set(np0)
+                cy = cy.at[:, :, 0].set(nq0)
+                cy = cy.at[:, :, 1].set(nq1)
+                cy = cy.at[:, :, 2].set(nq2)
+            else:
+                c0 = 4 * e - 4
+                cy = cy.at[:, :, c0 + 1].set(np2)
+                cy = cy.at[:, :, c0 + 2].set(np1)
+                cy = cy.at[:, :, c0 + 3].set(np0)
+                cy = cy.at[:, :, c0 + 4].set(nq0)
+                cy = cy.at[:, :, c0 + 5].set(nq1)
+                cy = cy.at[:, :, c0 + 6].set(nq2)
+
+        # ---- V phase: chroma -------------------------------------------
+        def chroma_v(ct, left_t):
+            for e, le in ((0, 0), (1, 2)):
+                qp_avg = ((cql + cqc + 1) >> 1) if e == 0 else cqc
+                ia, ib = idxAB(qp_avg, offa, offb)
+                alpha = _ALPHA[ia][:, None]
+                beta = _BETA[ib][:, None]
+                bs_line = bsv[:, le, :][:, seg8]               # (K,8)
+                tc0 = _TC0[ia[:, None], jnp.clip(bs_line, 0, 3)]
+                if e == 0:
+                    cols = [left_t[:, :, 6], left_t[:, :, 7],
+                            ct[:, :, 0], ct[:, :, 1]]
+                else:
+                    cols = [ct[:, :, 2], ct[:, :, 3],
+                            ct[:, :, 4], ct[:, :, 5]]
+                np0, nq0 = _filter_chroma_line(
+                    cols[0], cols[1], cols[2], cols[3], bs_line, alpha,
+                    beta, tc0)
+                if e == 0:
+                    left_t = left_t.at[:, :, 7].set(np0)
+                    ct = ct.at[:, :, 0].set(nq0)
+                else:
+                    ct = ct.at[:, :, 3].set(np0)
+                    ct = ct.at[:, :, 4].set(nq0)
+            return ct, left_t
+
+        cu, p1u = chroma_v(cu, p1u)
+        cv, p1v = chroma_v(cv, p1v)
+
+        # top tiles AFTER the V phase (slot k-1's V-edge-0 writes land
+        # before our H-edge-0 reads, matching raster order)
+        top_y = shift_k(p1y)
+        top_u = shift_k(p1u)
+        top_v = shift_k(p1v)
+
+        # ---- H phase: luma horizontal edges (top->bottom) ---------------
+        for e in range(4):
+            qp_avg = ((qpt + qpc_c + 1) >> 1) if e == 0 else qpc_c
+            ia, ib = idxAB(qp_avg, offa, offb)
+            alpha = _ALPHA[ia][:, None]
+            beta = _BETA[ib][:, None]
+            bs_line = bsh[:, e, :][:, seg16]
+            tc0 = _TC0[ia[:, None], jnp.clip(bs_line, 0, 3)]
+            if e == 0:
+                rows = [top_y[:, 12 + k, :] for k in range(4)] + \
+                       [cy[:, k, :] for k in range(4)]
+            else:
+                r0 = 4 * e - 4
+                rows = [cy[:, r0 + k, :] for k in range(8)]
+            np2, np1, np0, nq0, nq1, nq2 = _filter_luma_line(
+                rows[0], rows[1], rows[2], rows[3], rows[4], rows[5],
+                rows[6], rows[7], bs_line, alpha, beta, tc0)
+            if e == 0:
+                top_y = top_y.at[:, 13, :].set(np2)
+                top_y = top_y.at[:, 14, :].set(np1)
+                top_y = top_y.at[:, 15, :].set(np0)
+                cy = cy.at[:, 0, :].set(nq0)
+                cy = cy.at[:, 1, :].set(nq1)
+                cy = cy.at[:, 2, :].set(nq2)
+            else:
+                r0 = 4 * e - 4
+                cy = cy.at[:, r0 + 1, :].set(np2)
+                cy = cy.at[:, r0 + 2, :].set(np1)
+                cy = cy.at[:, r0 + 3, :].set(np0)
+                cy = cy.at[:, r0 + 4, :].set(nq0)
+                cy = cy.at[:, r0 + 5, :].set(nq1)
+                cy = cy.at[:, r0 + 6, :].set(nq2)
+
+        # ---- H phase: chroma --------------------------------------------
+        def chroma_h(ct, top_t):
+            for e, le in ((0, 0), (1, 2)):
+                qp_avg = ((cqt + cqc + 1) >> 1) if e == 0 else cqc
+                ia, ib = idxAB(qp_avg, offa, offb)
+                alpha = _ALPHA[ia][:, None]
+                beta = _BETA[ib][:, None]
+                bs_line = bsh[:, le, :][:, seg8]
+                tc0 = _TC0[ia[:, None], jnp.clip(bs_line, 0, 3)]
+                if e == 0:
+                    rows = [top_t[:, 6, :], top_t[:, 7, :],
+                            ct[:, 0, :], ct[:, 1, :]]
+                else:
+                    rows = [ct[:, 2, :], ct[:, 3, :],
+                            ct[:, 4, :], ct[:, 5, :]]
+                np0, nq0 = _filter_chroma_line(
+                    rows[0], rows[1], rows[2], rows[3], bs_line, alpha,
+                    beta, tc0)
+                if e == 0:
+                    top_t = top_t.at[:, 7, :].set(np0)
+                    ct = ct.at[:, 0, :].set(nq0)
+                else:
+                    ct = ct.at[:, 3, :].set(np0)
+                    ct = ct.at[:, 4, :].set(nq0)
+            return ct, top_t
+
+        cu, top_u = chroma_h(cu, top_u)
+        cv, top_v = chroma_h(cv, top_v)
+
+        # diag d-1 is now final: merge the H-edge top-writes (slot k wrote
+        # into k-1) back; the last slot had no below-MB this step
+        p1y_fin = jnp.concatenate([top_y[1:], p1y[-1:]], axis=0)
+        p1u_fin = jnp.concatenate([top_u[1:], p1u[-1:]], axis=0)
+        p1v_fin = jnp.concatenate([top_v[1:], p1v[-1:]], axis=0)
+        return (cy, cu, cv), (p1y_fin, p1u_fin, p1v_fin)
+
+    zy = jnp.zeros((K, 16, 16), jnp.int32)
+    zc = jnp.zeros((K, 8, 8), jnp.int32)
+    _, (oy, ou, ov) = jax.lax.scan(step, (zy, zc, zc), xs)
+    # step d emits finalized diagonal d-1: rows 0..D-1 live at [1:D+1]
+    newY = tiles_to_plane(unskew(oy[1:D + 1], geo))
+    newU = tiles_to_plane(unskew(ou[1:D + 1], geo))
+    newV = tiles_to_plane(unskew(ov[1:D + 1], geo))
     pY = jax.lax.dynamic_update_slice(pY, newY, (PAD, PAD))
     pU = jax.lax.dynamic_update_slice(pU, newU, (PAD, PAD))
     pV = jax.lax.dynamic_update_slice(pV, newV, (PAD, PAD))

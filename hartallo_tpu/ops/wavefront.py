@@ -61,6 +61,29 @@ def skew_geometry(gw: int, gh: int):
             "valid": valid, "d_of": d_of, "k_of": k_of}
 
 
+@lru_cache(maxsize=None)
+def skew1_geometry(gw: int, gh: int):
+    """Slope-1 variant: d = mx + my (left/top deps only — deblocking).
+    D = gw + gh - 1 diagonals, K = gh slots (k = my)."""
+    D = gw + gh - 1
+    K = gh
+    my_of = np.zeros((D, K), np.int32)
+    mx_of = np.zeros((D, K), np.int32)
+    valid = np.zeros((D, K), bool)
+    for d in range(D):
+        for k in range(K):
+            mx = d - k
+            if 0 <= mx < gw:
+                my_of[d, k] = k
+                mx_of[d, k] = mx
+                valid[d, k] = True
+    my_g, mx_g = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+    d_of = (mx_g + my_g).astype(np.int32)
+    k_of = my_g.astype(np.int32)
+    return {"D": D, "K": K, "my_of": my_of, "mx_of": mx_of,
+            "valid": valid, "d_of": d_of, "k_of": k_of}
+
+
 def skew(arr, geo):
     """Per-MB array (gh, gw, ...) -> skewed (D, K, ...). Invalid slots get
     the (0, 0) MB's value; mask with geo['valid'] where it matters."""

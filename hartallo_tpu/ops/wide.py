@@ -87,67 +87,6 @@ _QP_CASES = [
 _QPT = np.asarray(_QP_CASES, np.int32)          # (16, 6)
 
 
-def mc_luma_wide(stack: jnp.ndarray, slot: jnp.ndarray,
-                 bx: jnp.ndarray, by: jnp.ndarray,
-                 mvx: jnp.ndarray, mvy: jnp.ndarray) -> jnp.ndarray:
-    """Quarter-pel MC for N 4x4 luma blocks from half-pel plane stacks.
-
-    stack: (S, 4, Hp, Wp) int32 ring of [G,b,h,j] per reference slot.
-    slot (N,): reference slot per block; bx/by (N,) block top-left frame
-    coords; mvx/mvy (N,) quarter-pel MVs.  Returns (4, 4, N) int32.
-    """
-    S, _, Hp, Wp = stack.shape
-    H, W = Hp - 2 * PAD, Wp - 2 * PAD
-    flat = stack.reshape(S * 4 * Hp, Wp)
-    xi = bx + (mvx >> 2)
-    yi = by + (mvy >> 2)
-    fx = (mvx & 3).astype(jnp.int32)
-    fy = (mvy & 3).astype(jnp.int32)
-    xi = jnp.clip(xi, -(PAD - 2), W + PAD - 7)
-    yi = jnp.clip(yi, -(PAD - 2), H + PAD - 7)
-    case = 4 * fy + fx                                    # (N,)
-    qpt = jnp.asarray(_QPT)
-    p0, dx0, dy0 = qpt[case, 0], qpt[case, 1], qpt[case, 2]
-    p1, dx1, dy1 = qpt[case, 3], qpt[case, 4], qpt[case, 5]
-    r4 = jnp.arange(4, dtype=jnp.int32)
-
-    def gather(p, dx, dy):
-        base_r = (slot * 4 + p) * Hp + (yi + dy + PAD)    # (N,)
-        rows = base_r[None, :] + r4[:, None]              # (4, N)
-        cols = (xi + dx + PAD)[None, :] + r4[:, None]     # (4, N)
-        return flat[rows[:, None, :], cols[None, :, :]]   # (4, 4, N)
-
-    A = gather(p0, dx0, dy0)
-    B = gather(p1, dx1, dy1)
-    return (A + B + 1) >> 1
-
-
-def mc_chroma_wide(ring: jnp.ndarray, slot: jnp.ndarray,
-                   bx: jnp.ndarray, by: jnp.ndarray,
-                   mvx: jnp.ndarray, mvy: jnp.ndarray) -> jnp.ndarray:
-    """Eighth-pel bilinear MC for N 2x2 chroma blocks; ring (S, Hp, Wp).
-    Returns (2, 2, N) int32."""
-    S, Hp, Wp = ring.shape
-    H, W = Hp - 2 * PAD, Wp - 2 * PAD
-    flat = ring.reshape(S * Hp, Wp)
-    xi = bx + (mvx >> 3)
-    yi = by + (mvy >> 3)
-    dx = (mvx & 7).astype(jnp.int32)[None, None, :]
-    dy = (mvy & 7).astype(jnp.int32)[None, None, :]
-    xi = jnp.clip(xi, -(PAD - 1), W + PAD - 4)
-    yi = jnp.clip(yi, -(PAD - 1), H + PAD - 4)
-    r3 = jnp.arange(3, dtype=jnp.int32)
-    rows = (slot * Hp + yi + PAD)[None, :] + r3[:, None]  # (3, N)
-    cols = (xi + PAD)[None, :] + r3[:, None]
-    R = flat[rows[:, None, :], cols[None, :, :]]          # (3, 3, N)
-    A = R[0:2, 0:2]
-    B = R[0:2, 1:3]
-    C = R[1:3, 0:2]
-    D = R[1:3, 1:3]
-    return ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * B +
-            (8 - dx) * dy * C + dx * dy * D + 32) >> 6
-
-
 # block index n ordered (my, mx, by, bx); static grids
 def mc_grids(gw: int, gh: int):
     myg, mxg, byg, bxg = np.meshgrid(np.arange(gh), np.arange(gw),
@@ -160,12 +99,96 @@ def mc_grids(gw: int, gh: int):
             jnp.asarray((myg * 8 + byg * 2).reshape(n).astype(np.int32)))
 
 
-def blocks_to_plane(blks: jnp.ndarray, gw: int, gh: int) -> jnp.ndarray:
-    """(s, s, N) with N = (my, mx, by, bx) -> (gh*4s, gw*4s) plane."""
-    s = blks.shape[0]
-    x = blks.reshape(s, s, gh, gw, 4, 4)
-    x = x.transpose(2, 4, 0, 3, 5, 1)         # (gh, by, i, gw, bx, j)
-    return x.reshape(gh * 4 * s, gw * 4 * s)
+def _to_grid(v: jnp.ndarray, gw: int, gh: int) -> jnp.ndarray:
+    """(N,) block-ordered (my, mx, by, bx) -> (4gh, 4gw) block grid."""
+    return v.reshape(gh, gw, 4, 4).transpose(0, 2, 1, 3) \
+        .reshape(4 * gh, 4 * gw)
+
+
+def _expand(g: jnp.ndarray, s: int) -> jnp.ndarray:
+    return jnp.repeat(jnp.repeat(g, s, 0), s, 1)
+
+
+def _weigh(pred, w, o, lwd):
+    """8.4.2.3.2 explicit uni-pred weighting (identity at (1, 0, 0))."""
+    return jnp.clip(((pred * w + ((1 << lwd) >> 1)) >> lwd) + o, 0, 255)
+
+
+def mc_luma_plane(stack: jnp.ndarray, slot: jnp.ndarray,
+                  bx: jnp.ndarray, by: jnp.ndarray,
+                  mvx: jnp.ndarray, mvy: jnp.ndarray,
+                  wp3: jnp.ndarray, gw: int, gh: int) -> jnp.ndarray:
+    """Quarter-pel MC producing the (H, W) luma prediction PLANE.
+
+    stack: (S, 4, Hp, Wp) int32 ring of [G,b,h,j] per reference slot.
+    slot/bx/by/mvx/mvy: (N,) per 4x4 block, N ordered (my, mx, by, bx).
+    wp3: (N, 3) weighted-prediction [w, o, logWD] per block.
+
+    Per-pixel linear indices are built with wide repeats and the two
+    taps fetched with flat ``jnp.take`` — the only gather orientation
+    the TPU executes at full speed.
+    """
+    S, _, Hp, Wp = stack.shape
+    H, W = Hp - 2 * PAD, Wp - 2 * PAD
+    flat = stack.reshape(-1)
+    xi = bx + (mvx >> 2)
+    yi = by + (mvy >> 2)
+    fx = (mvx & 3).astype(jnp.int32)
+    fy = (mvy & 3).astype(jnp.int32)
+    xi = jnp.clip(xi, -(PAD - 2), W + PAD - 7)
+    yi = jnp.clip(yi, -(PAD - 2), H + PAD - 7)
+    case = 4 * fy + fx                                    # (N,)
+    qpt = jnp.asarray(_QPT)
+    cs = qpt[case]                                        # (N, 6)
+    yy = (jnp.arange(H) % 4)[:, None] * Wp
+    xx = (jnp.arange(W) % 4)[None, :]
+
+    def tap(p, dx, dy):
+        base = ((slot * 4 + p) * Hp + (yi + dy + PAD)) * Wp + \
+            (xi + dx + PAD)                               # (N,)
+        px = _expand(_to_grid(base, gw, gh), 4)           # (H, W)
+        return jnp.take(flat, px + yy + xx)
+
+    A = tap(cs[:, 0], cs[:, 1], cs[:, 2])
+    B = tap(cs[:, 3], cs[:, 4], cs[:, 5])
+    pred = (A + B + 1) >> 1
+    w = _expand(_to_grid(wp3[:, 0], gw, gh), 4)
+    o = _expand(_to_grid(wp3[:, 1], gw, gh), 4)
+    lwd = _expand(_to_grid(wp3[:, 2], gw, gh), 4)
+    return _weigh(pred, w, o, lwd)
+
+
+def mc_chroma_plane(ring: jnp.ndarray, slot: jnp.ndarray,
+                    bx: jnp.ndarray, by: jnp.ndarray,
+                    mvx: jnp.ndarray, mvy: jnp.ndarray,
+                    wp3: jnp.ndarray, gw: int, gh: int) -> jnp.ndarray:
+    """Eighth-pel bilinear MC producing the (H/2, W/2) chroma plane.
+    Inputs as mc_luma_plane (chroma block coords); ring (S, Hp, Wp)."""
+    S, Hp, Wp = ring.shape
+    H, W = Hp - 2 * PAD, Wp - 2 * PAD
+    flat = ring.reshape(-1)
+    xi = bx + (mvx >> 3)
+    yi = by + (mvy >> 3)
+    fx = (mvx & 7).astype(jnp.int32)
+    fy = (mvy & 7).astype(jnp.int32)
+    xi = jnp.clip(xi, -(PAD - 1), W + PAD - 4)
+    yi = jnp.clip(yi, -(PAD - 1), H + PAD - 4)
+    base = (slot * Hp + yi + PAD) * Wp + (xi + PAD)
+    px = _expand(_to_grid(base, gw, gh), 2) + \
+        (jnp.arange(2 * 4 * gh) % 2)[:, None] * Wp + \
+        (jnp.arange(2 * 4 * gw) % 2)[None, :]
+    A = jnp.take(flat, px)
+    Bt = jnp.take(flat, px + 1)
+    C = jnp.take(flat, px + Wp)
+    D = jnp.take(flat, px + Wp + 1)
+    dx = _expand(_to_grid(fx, gw, gh), 2)
+    dy = _expand(_to_grid(fy, gw, gh), 2)
+    pred = ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * Bt +
+            (8 - dx) * dy * C + dx * dy * D + 32) >> 6
+    w = _expand(_to_grid(wp3[:, 0], gw, gh), 2)
+    o = _expand(_to_grid(wp3[:, 1], gw, gh), 2)
+    lwd = _expand(_to_grid(wp3[:, 2], gw, gh), 2)
+    return _weigh(pred, w, o, lwd)
 
 
 # ---------------------------------------------------------------------------

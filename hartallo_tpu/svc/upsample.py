@@ -84,17 +84,19 @@ def upsample_plane(base: jnp.ndarray, out_h: int, out_w: int,
     byj = jnp.asarray(by)
     pxj = jnp.asarray(px)
     pyj = jnp.asarray(py)
-    basei = base.astype(jnp.int64)
+    # int32 accumulators are exact here: 8-bit samples through two
+    # 16-phase passes bound the accumulator by 255 * 32 * 32 < 2^19
+    basei = base.astype(jnp.int32)
 
     # vertical: rows gathered per tap
-    tmp = jnp.zeros((out_h, w), jnp.int64)
+    tmp = jnp.zeros((out_h, w), jnp.int32)
     for k in range(taps):
         rows = jnp.clip(byj + k - off, 0, h - 1)
-        tmp = tmp + filt[pyj, k][:, None].astype(jnp.int64) * basei[rows, :]
-    out = jnp.zeros((out_h, out_w), jnp.int64)
+        tmp = tmp + filt[pyj, k][:, None].astype(jnp.int32) * basei[rows, :]
+    out = jnp.zeros((out_h, out_w), jnp.int32)
     for k in range(taps):
         cols = jnp.clip(bxj + k - off, 0, w - 1)
-        out = out + filt[pxj, k][None, :].astype(jnp.int64) * tmp[:, cols]
+        out = out + filt[pxj, k][None, :].astype(jnp.int32) * tmp[:, cols]
     return jnp.clip((out + 512) >> 10, 0, 255).astype(jnp.int32)
 
 

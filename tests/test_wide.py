@@ -50,46 +50,72 @@ def test_residual_planes_wide_matches_compute_residuals():
         assert (np.asarray(res_c)[b] == cpl).all()
 
 
-def test_mc_luma_wide_matches_luma_mc_blocks():
+def test_mc_luma_plane_matches_luma_mc_blocks():
     from hartallo_tpu.ops.interpol import luma_mc_blocks
-    H, Wd = 48, 64
+    gw, gh = 5, 4
+    H, Wd = gh * 16, gw * 16
     S = 3
     refs = RNG.integers(0, 256, (S, H, Wd)).astype(np.int32)
     pads = np.stack([np.pad(r, PAD, mode="edge") for r in refs])
-    N = 512
-    bx = RNG.integers(0, Wd - 4, N).astype(np.int32)
-    by = RNG.integers(0, H - 4, N).astype(np.int32)
+    N = gh * gw * 16
+    bx, by, cbx, cby = [np.asarray(a) for a in W.mc_grids(gw, gh)]
     mvx = RNG.integers(-40, 40, N).astype(np.int32)
     mvy = RNG.integers(-40, 40, N).astype(np.int32)
     slot = RNG.integers(0, S, N).astype(np.int32)
+    wp_id = np.zeros((N, 3), np.int32)
+    wp_id[:, 0] = 1
 
     ref = np.asarray(luma_mc_blocks(jnp.asarray(pads), jnp.asarray(bx),
                                     jnp.asarray(by), jnp.asarray(mvx),
                                     jnp.asarray(mvy), jnp.asarray(slot)))
+    # assemble (N,4,4) -> (H,W) plane
+    exp = np.zeros((H, Wd), np.int32)
+    for n in range(N):
+        exp[by[n]:by[n] + 4, bx[n]:bx[n] + 4] = ref[n]
     stack = jnp.stack([W.halfpel_planes(jnp.asarray(p)) for p in pads])
-    got = np.asarray(W.mc_luma_wide(stack, jnp.asarray(slot),
-                                    jnp.asarray(bx), jnp.asarray(by),
-                                    jnp.asarray(mvx), jnp.asarray(mvy)))
-    # got (4,4,N) vs ref (N,4,4)
-    assert (got.transpose(2, 0, 1) == ref).all()
+    got = np.asarray(W.mc_luma_plane(stack, jnp.asarray(slot),
+                                     jnp.asarray(bx), jnp.asarray(by),
+                                     jnp.asarray(mvx), jnp.asarray(mvy),
+                                     jnp.asarray(wp_id), gw, gh))
+    assert (got == exp).all()
+
+    # non-identity weights: per-block [w,o,logWD] vs the scalar formula
+    wp = np.stack([RNG.integers(-20, 40, N), RNG.integers(-30, 30, N),
+                   RNG.integers(0, 7, N)], axis=1).astype(np.int32)
+    got_w = np.asarray(W.mc_luma_plane(stack, jnp.asarray(slot),
+                                       jnp.asarray(bx), jnp.asarray(by),
+                                       jnp.asarray(mvx), jnp.asarray(mvy),
+                                       jnp.asarray(wp), gw, gh))
+    for n in RNG.choice(N, 50, replace=False):
+        w_, o_, d_ = [int(v) for v in wp[n]]
+        blk = ref[n].astype(np.int64)
+        expw = np.clip(((blk * w_ + ((1 << d_) >> 1)) >> d_) + o_, 0, 255)
+        assert (got_w[by[n]:by[n] + 4, bx[n]:bx[n] + 4] == expw).all()
 
 
-def test_mc_chroma_wide_matches_chroma_mc_blocks():
+def test_mc_chroma_plane_matches_chroma_mc_blocks():
     from hartallo_tpu.ops.interpol import chroma_mc_blocks
-    H, Wd = 24, 32
+    gw, gh = 4, 3
+    H, Wd = gh * 8, gw * 8
     S = 2
     refs = RNG.integers(0, 256, (S, H, Wd)).astype(np.int32)
     pads = np.stack([np.pad(r, PAD, mode="edge") for r in refs])
-    N = 256
-    bx = RNG.integers(0, Wd - 2, N).astype(np.int32)
-    by = RNG.integers(0, H - 2, N).astype(np.int32)
+    N = gh * gw * 16
+    _, _, cbx, cby = [np.asarray(a) for a in W.mc_grids(gw, gh)]
     mvx = RNG.integers(-60, 60, N).astype(np.int32)
     mvy = RNG.integers(-60, 60, N).astype(np.int32)
     slot = RNG.integers(0, S, N).astype(np.int32)
-    ref = np.asarray(chroma_mc_blocks(jnp.asarray(pads), jnp.asarray(bx),
-                                      jnp.asarray(by), jnp.asarray(mvx),
+    wp_id = np.zeros((N, 3), np.int32)
+    wp_id[:, 0] = 1
+    ref = np.asarray(chroma_mc_blocks(jnp.asarray(pads), jnp.asarray(cbx),
+                                      jnp.asarray(cby), jnp.asarray(mvx),
                                       jnp.asarray(mvy), jnp.asarray(slot)))
-    got = np.asarray(W.mc_chroma_wide(jnp.asarray(pads), jnp.asarray(slot),
-                                      jnp.asarray(bx), jnp.asarray(by),
-                                      jnp.asarray(mvx), jnp.asarray(mvy)))
-    assert (got.transpose(2, 0, 1) == ref).all()
+    exp = np.zeros((H, Wd), np.int32)
+    for n in range(N):
+        exp[cby[n]:cby[n] + 2, cbx[n]:cbx[n] + 2] = ref[n]
+    got = np.asarray(W.mc_chroma_plane(jnp.asarray(pads),
+                                       jnp.asarray(slot),
+                                       jnp.asarray(cbx), jnp.asarray(cby),
+                                       jnp.asarray(mvx), jnp.asarray(mvy),
+                                       jnp.asarray(wp_id), gw, gh))
+    assert (got == exp).all()
