@@ -64,7 +64,7 @@ def bench_one(W, H, NF):
         assert len(out) == len(frames)
         return t_enc, t_dec
 
-    run(clip[:2])                      # warmup (jit compiles)
+    run(clip)        # warmup: full clip so every chunk/batch size compiles
     t_enc, t_dec = run(clip)
     return NF / t_enc, NF / t_dec
 

@@ -31,6 +31,10 @@ class CodecConfig:
     me_range: int = 16
 
     deblock: bool = True
+    # False -> disable_deblocking_filter_idc=2 (no filtering across slice
+    # boundaries): makes row-band slices fully independent, the mode the
+    # sharded multi-chip pipeline uses
+    deblock_slice_edges: bool = True
     threads: int = 1                         # host-side entropy workers
     slices: int = 1                          # slices per frame
     dqid_min: int = -1                       # SVC decode window
@@ -41,6 +45,12 @@ class CodecConfig:
     # MbToSliceGroupMap (8.2.2); map types supported for emit: 0/1/2/6
     num_slice_groups: int = 1
     slice_group_map_type: int = 0
+    # temporal scalability: 2 -> alternate P frames are non-reference
+    # (temporal_id 1, droppable); 1 = single temporal layer
+    temporal_layers: int = 1
+    # decode-side temporal window: drop slices with temporal_id > tid_max
+    # (-1 = decode everything)
+    tid_max: int = -1
     # SVC spatial layers: list of (width, height); empty = plain AVC
     layers: List[Tuple[int, int]] = field(default_factory=list)
 
@@ -67,6 +77,7 @@ class EncodeResult:
     data: bytes = b""                        # Annex-B bytes (with start codes)
     headers: bytes = b""                     # SPS/PPS emitted this frame
     keyframe: bool = False
+    temporal_id: int = 0                     # 0 = base temporal layer
 
 
 class Engine:
@@ -112,7 +123,8 @@ class Codec:
         if self._decoder is None:
             from hartallo_tpu.decode.decoder import Decoder
             self._decoder = Decoder(dqid_min=self.config.dqid_min,
-                                    dqid_max=self.config.dqid_max)
+                                    dqid_max=self.config.dqid_max,
+                                    tid_max=self.config.tid_max)
         return self._decoder.decode_nal(nal)
 
     def decode_annexb(self, data: bytes,
@@ -124,7 +136,8 @@ class Codec:
         if self._decoder is None:
             from hartallo_tpu.decode.decoder import Decoder
             self._decoder = Decoder(dqid_min=self.config.dqid_min,
-                                    dqid_max=self.config.dqid_max)
+                                    dqid_max=self.config.dqid_max,
+                                    tid_max=self.config.tid_max)
         return self._decoder.decode_annexb(data, tolerant=tolerant)
 
     # -- encode -----------------------------------------------------------

@@ -45,7 +45,7 @@ _DEC_WORDS = sum(int(np.prod(s, dtype=int)) if s else 1
 
 def pack_slice_arrays(sd, al, at, fmb_v, fmb_h, fint,
                       wp_l=None, wp_c=None) -> np.ndarray:
-    """Host: SliceData + availability/filter masks -> (gh*gw, W) int32."""
+    """Host: SliceData + availability/filter masks -> (gh*gw, W) int16."""
     gh, gw = sd.gh, sd.gw
     n = gh * gw
     if wp_l is None:
@@ -66,11 +66,14 @@ def pack_slice_arrays(sd, al, at, fmb_v, fmb_h, fint,
         "fmb_v": fmb_v, "fmb_h": fmb_h, "fint": fint,
         "wp_l": wp_l, "wp_c": wp_c,
     }
+    # int16 transfer buffer: every field fits (spec A.2.1 bounds
+    # coefficient values to [-2^15, 2^15-1]; quarter-pel MVs to +-8192)
+    # and the host->device copy halves
     parts = []
     for name, shape in DEC_FIELDS:
         w = int(np.prod(shape, dtype=int)) if shape else 1
         parts.append(np.ascontiguousarray(
-            vals[name], dtype=np.int32).reshape(n, w))
+            vals[name], dtype=np.int16).reshape(n, w))
     return np.concatenate(parts, axis=1)
 
 

@@ -65,7 +65,7 @@ def ring_shapes(gw: int, gh: int, S: int):
 @partial(jax.jit, static_argnames=("gw", "gh", "chroma_qp_off"))
 def decode_gop(packed, write_slot, has_intra, ringY, ringU, ringV,
                *, gw: int, gh: int, chroma_qp_off: int):
-    """packed (K, gh*gw, WORDS) int32; write_slot (K,) int32 (ring slot
+    """packed (K, gh*gw, WORDS) int16; write_slot (K,) int32 (ring slot
     for the recon; the last slot is the non-reference trash slot);
     has_intra (K,) bool; ringY (S, 4, Hp, Wp) half-pel stacks;
     ringU/ringV (S, Hc, Wc).
@@ -75,6 +75,7 @@ def decode_gop(packed, write_slot, has_intra, ringY, ringU, ringV,
     H, W = gh * 16, gw * 16
     M = K * gh * gw
     N = gh * gw * 16
+    packed = packed.astype(jnp.int32)     # int16 on the wire (A.2.1)
 
     # ---- frame-independent precompute (batched over K) ----------------
     qp = _field(packed, "qp", gw, gh)                        # (K,gh,gw)

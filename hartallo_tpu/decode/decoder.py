@@ -109,11 +109,13 @@ def _materialize(result: DecodeResult) -> DecodeResult:
 
 class Decoder:
     def __init__(self, dqid_min: int = -1, dqid_max: int = -1,
-                 batch_k: int = BATCH_K):
+                 batch_k: int = BATCH_K, tid_max: int = -1):
         self.sps_map: Dict[int, SPS] = {}
         self.pps_map: Dict[int, PPS] = {}
         self.dqid_min = dqid_min
         self.dqid_max = dqid_max
+        self.tid_max = tid_max
+        self._prefix_svc = None          # SVC ext of the pending prefix NAL
         self.batch_k = max(1, batch_k)
         self._sched_cache = {}
         self._fmo_cache = {}
@@ -173,10 +175,24 @@ class Decoder:
             self.pps_map[pps.pic_parameter_set_id] = pps
             return DecodeResult()
         if hdr.type == N.NAL_PREFIX:
-            # prefix NAL for the following base-layer slice: the SVC ext
-            # header was parsed; payload (store_ref_base_pic) not needed
+            # prefix NAL for the following base-layer slice: carries the
+            # SVC ext header (incl. temporal_id); payload
+            # (store_ref_base_pic) not needed
+            self._prefix_svc = hdr.svc
             return DecodeResult()
         if hdr.type in (N.NAL_SLICE, N.NAL_SLICE_IDR, N.NAL_SLICE_EXT):
+            svc = hdr.svc if hdr.type == N.NAL_SLICE_EXT else \
+                self._prefix_svc
+            self._prefix_svc = None
+            if svc is not None:
+                tid = svc.temporal_id
+            else:
+                # plain AVC: non-reference P slices are the disposable
+                # (temporal_id > 0) set
+                tid = 1 if (hdr.ref_idc == 0 and
+                            hdr.type == N.NAL_SLICE) else 0
+            if self.tid_max >= 0 and tid > self.tid_max:
+                return DecodeResult()    # droppable temporal layer
             return self._decode_slice(r, hdr)
         return DecodeResult()
 

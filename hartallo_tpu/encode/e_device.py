@@ -40,10 +40,11 @@ P_FIELDS = [
 
 
 def _pack(arrays, fields, gh, gw):
-    """Stack per-MB arrays into one (gh*gw, n_words) int32 buffer."""
+    """Stack per-MB arrays into one (gh*gw, n_words) int16 transfer
+    buffer (lossless: spec A.2.1 bounds coefficients to +-2^15)."""
     parts = []
     for name, shape in fields:
-        a = arrays[name].astype(jnp.int32).reshape(
+        a = arrays[name].astype(jnp.int16).reshape(
             gh * gw, int(np.prod(shape, dtype=int)) if shape else 1)
         parts.append(a)
     return jnp.concatenate(parts, axis=1)
@@ -128,8 +129,8 @@ def pack_src(frame: np.ndarray, width: int, height: int,
 
 
 @partial(jax.jit, static_argnames=("gw", "gh", "chroma_qp_off", "deblock"))
-def i_frame_fused(src_u8, qp, lam, avail_l, avail_t, *, gw: int, gh: int,
-                  chroma_qp_off: int, deblock: bool):
+def i_frame_fused(src_u8, qp, lam, avail_l, avail_t, fmb_v, fmb_h,
+                  *, gw: int, gh: int, chroma_qp_off: int, deblock: bool):
     """IDR frame: intra wavefront encode + in-loop deblock + packed output.
 
     Returns (packed (gh*gw, n) int32, mad_sum i64, recY, recU, recV)."""
@@ -143,7 +144,8 @@ def i_frame_fused(src_u8, qp, lam, avail_l, avail_t, *, gw: int, gh: int,
         ref44 = jnp.zeros((gh, gw, 4, 4), jnp.int32)
         recY, recU, recV = deblock_recon_device(
             arrays["luma_ac"], mv44, ref44, jnp.ones((gh, gw), bool),
-            qp, chroma_qp_off, (recY, recU, recV), gw, gh)
+            qp, chroma_qp_off, (recY, recU, recV), gw, gh,
+            fmb_v=fmb_v, fmb_h=fmb_h)
     packed = _pack(arrays, INTRA_FIELDS, gh, gw)
     mad = jnp.abs(
         jax.lax.dynamic_slice(srcY, (PAD, PAD), (H, W)) -
@@ -152,9 +154,9 @@ def i_frame_fused(src_u8, qp, lam, avail_l, avail_t, *, gw: int, gh: int,
     return packed, mad, recY, recU, recV
 
 
-def _p_frame_body(src_u8, refY, refU, refV, qp, lam, *, gw: int, gh: int,
-                  rng: int, refine: bool, chroma_qp_off: int,
-                  deblock: bool):
+def _p_frame_body(src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h,
+                  *, gw: int, gh: int, rng: int, refine: bool,
+                  chroma_qp_off: int, deblock: bool):
     H, W = gh * 16, gw * 16
     srcY, srcU, srcV = _split_src(src_u8, gw, gh)
     wq, dcq, acq, mv44, choice, recY, recU, recV = p_frame_device(
@@ -165,7 +167,8 @@ def _p_frame_body(src_u8, refY, refU, refV, qp, lam, *, gw: int, gh: int,
         ref44 = jnp.zeros((gh, gw, 4, 4), jnp.int32)
         recY, recU, recV = deblock_recon_device(
             wq, mv44, ref44, jnp.zeros((gh, gw), bool),
-            qp, chroma_qp_off, (recY, recU, recV), gw, gh)
+            qp, chroma_qp_off, (recY, recU, recV), gw, gh,
+            fmb_v=fmb_v, fmb_h=fmb_h)
     arrays = {"luma_ac": wq, "chroma_dc": dcq, "chroma_ac": acq,
               "mv44": mv44,
               "choice": choice.reshape(gh, gw)}
@@ -179,37 +182,43 @@ def _p_frame_body(src_u8, refY, refU, refV, qp, lam, *, gw: int, gh: int,
 
 @partial(jax.jit, static_argnames=("gw", "gh", "rng", "refine",
                                    "chroma_qp_off", "deblock"))
-def p_frame_fused(src_u8, refY, refU, refV, qp, lam, *, gw: int, gh: int,
-                  rng: int, refine: bool, chroma_qp_off: int,
-                  deblock: bool):
+def p_frame_fused(src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h,
+                  *, gw: int, gh: int, rng: int, refine: bool,
+                  chroma_qp_off: int, deblock: bool):
     """P frame: fused ME/MC/transform/recon + in-loop deblock + packed
     output.  Returns (packed, mad_sum, recY, recU, recV)."""
-    return _p_frame_body(src_u8, refY, refU, refV, qp, lam, gw=gw, gh=gh,
-                         rng=rng, refine=refine,
+    return _p_frame_body(src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h,
+                         gw=gw, gh=gh, rng=rng, refine=refine,
                          chroma_qp_off=chroma_qp_off, deblock=deblock)
 
 
 @partial(jax.jit, static_argnames=("gw", "gh", "rng", "refine",
                                    "chroma_qp_off", "deblock"))
-def p_gop_fused(src_k_u8, refY, refU, refV, qp_k, lam_k, *, gw: int,
-                gh: int, rng: int, refine: bool, chroma_qp_off: int,
-                deblock: bool):
+def p_gop_fused(src_k_u8, refY, refU, refV, qp_k, lam_k, fmb_v, fmb_h,
+                is_ref_k, *, gw: int, gh: int, rng: int, refine: bool,
+                chroma_qp_off: int, deblock: bool):
     """K consecutive P frames in ONE device program: a ``lax.scan`` over
     frames carrying the deblocked recon (the TPU analog of the per-frame
     DPB hand-off, without K host round trips).
 
-    src_k_u8 (K, H*3//2, W) uint8; qp_k (K, gh, gw); lam_k (K,) f32.
+    src_k_u8 (K, H*3//2, W) uint8; qp_k (K, gh, gw); lam_k (K,) f32;
+    is_ref_k (K,) bool — False for droppable temporal_id>0 frames.
     Returns (packed (K, gh*gw, n) int32, mad (K,), recY, recU, recV)."""
 
     def body(carry, x):
         refY, refU, refV = carry
-        src_u8, qp, lam = x
+        src_u8, qp, lam, is_ref = x
         packed, mad, recY, recU, recV = _p_frame_body(
-            src_u8, refY, refU, refV, qp, lam, gw=gw, gh=gh, rng=rng,
+            src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h,
+            gw=gw, gh=gh, rng=rng,
             refine=refine, chroma_qp_off=chroma_qp_off, deblock=deblock)
-        return (recY, recU, recV), (packed, mad)
+        # non-reference frames (temporal_id > 0) leave the carry alone:
+        # later frames keep predicting from the last T0 recon
+        keep = lambda new, old: jnp.where(is_ref, new, old)  # noqa: E731
+        return ((keep(recY, refY), keep(recU, refU), keep(recV, refV)),
+                (packed, mad))
 
     carry, (packed_k, mad_k) = jax.lax.scan(
-        body, (refY, refU, refV), (src_k_u8, qp_k, lam_k))
+        body, (refY, refU, refV), (src_k_u8, qp_k, lam_k, is_ref_k))
     recY, recU, recV = carry
     return packed_k, mad_k, recY, recU, recV

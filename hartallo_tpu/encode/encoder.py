@@ -155,6 +155,25 @@ class Encoder:
         return [self.finish_frame(p) for p in pend]
 
     # ------------------------------------------------------------------
+    def _deblock_idc(self) -> int:
+        if not self.cfg.deblock:
+            return 1
+        return 0 if self.cfg.deblock_slice_edges else 2
+
+    def _deblock_masks(self, slice_id: np.ndarray):
+        """(fmb_v, fmb_h) for the in-loop recon filter, honoring
+        idc=2 slice-boundary gating (8.7.2)."""
+        gh, gw = slice_id.shape
+        fmb_v = np.zeros((gh, gw), bool)
+        fmb_v[:, 1:] = True
+        fmb_h = np.zeros((gh, gw), bool)
+        fmb_h[1:, :] = True
+        if self._deblock_idc() == 2:
+            fmb_v[:, 1:] &= slice_id[:, 1:] == slice_id[:, :-1]
+            fmb_h[1:, :] &= slice_id[1:, :] == slice_id[:-1, :]
+        return fmb_v, fmb_h
+
+    # ------------------------------------------------------------------
     def _slice_layout(self, gw: int, gh: int):
         """(ranges, slice_id, avail_l, avail_t) for the frame's slices."""
         from hartallo_tpu.decode.intra_recon import availability_masks
@@ -191,12 +210,18 @@ class Encoder:
         lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp_val - 12) / 3.0)))
         ranges, slice_id, _, _ = self._slice_layout(gw, gh)
 
+        fmb_v, fmb_h = self._deblock_masks(slice_id)
+        two_t = self.cfg.temporal_layers >= 2
+        tids = [(int((self._poc_cnt + k) % 2) if two_t else 0)
+                for k in range(K)]
         refY, refU, refV = self._ref_planes
         R = int(min(self.cfg.me_range, PAD - 8))
         packed_k, mad_k, recY, recU, recV = p_gop_fused(
             jnp.asarray(src_k), refY, refU, refV,
             jnp.broadcast_to(jnp.asarray(qp), (K, gh, gw)),
             jnp.full((K,), lam, jnp.float32),
+            jnp.asarray(fmb_v), jnp.asarray(fmb_h),
+            jnp.asarray(np.array([t == 0 for t in tids])),
             gw=gw, gh=gh, rng=R, refine=self.cfg.me_range > 0,
             chroma_qp_off=pps.chroma_qp_index_offset,
             deblock=bool(self.cfg.deblock))
@@ -212,13 +237,15 @@ class Encoder:
             frame_num = self.frame_num
             poc_lsb = (2 * self._poc_cnt) % 256
             self._poc_cnt += 1
-            self.frame_num = (self.frame_num + 1) % sps.max_frame_num
+            if tids[k] == 0:
+                self.frame_num = (self.frame_num + 1) % sps.max_frame_num
             self.frame_idx += 1
             pends.append({"packed_shared": (shared, k), "mad": 0,
                           "is_idr": False, "qp": qp, "qp_val": qp_val,
                           "ranges": ranges, "slice_id": slice_id,
                           "gw": gw, "gh": gh, "width": width,
-                          "height": height, "frame_num": frame_num,
+                          "height": height, "tid": tids[k],
+                          "frame_num": frame_num,
                           "idr_pic_id": self.idr_pic_id,
                           "poc_lsb": poc_lsb})
         return pends
@@ -242,6 +269,11 @@ class Encoder:
             self.gop_left = max(self.cfg.gop_size, 1)
             self.frame_num = 0
         self.gop_left -= 1
+        # hierarchical-P temporal scalability: odd frames since the IDR
+        # are temporal_id 1 and non-reference (droppable); they predict
+        # from the last T0 recon, which stays in _ref_planes
+        tid = 0 if (is_idr or self.cfg.temporal_layers < 2) \
+            else int(self._poc_cnt % 2)
 
         # rate control (JVT-G012 frame-level) or fixed QP
         if self.cfg.rc_bitrate and self.cfg.rc_bitrate > 0:
@@ -266,10 +298,12 @@ class Encoder:
         lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp_val - 12) / 3.0)))
         ranges, slice_id, avail_l, avail_t = self._slice_layout(gw, gh)
 
+        fmb_v, fmb_h = self._deblock_masks(slice_id)
         if is_idr:
             packed, mad, recY, recU, recV = i_frame_fused(
                 src_u8, jnp.asarray(qp), jnp.float32(lam),
                 jnp.asarray(avail_l), jnp.asarray(avail_t),
+                jnp.asarray(fmb_v), jnp.asarray(fmb_h),
                 gw=gw, gh=gh, chroma_qp_off=pps.chroma_qp_index_offset,
                 deblock=bool(self.cfg.deblock))
         else:
@@ -277,18 +311,21 @@ class Encoder:
             R = int(min(self.cfg.me_range, PAD - 8))
             packed, mad, recY, recU, recV = p_frame_fused(
                 src_u8, refY, refU, refV, jnp.asarray(qp),
-                jnp.float32(lam), gw=gw, gh=gh, rng=R,
+                jnp.float32(lam), jnp.asarray(fmb_v), jnp.asarray(fmb_h),
+                gw=gw, gh=gh, rng=R,
                 refine=self.cfg.me_range > 0,
                 chroma_qp_off=pps.chroma_qp_index_offset,
                 deblock=bool(self.cfg.deblock))
-        self._ref_planes = (recY, recU, recV)
+        if tid == 0:
+            self._ref_planes = (recY, recU, recV)
         frame_num = self.frame_num
         if is_idr:
             self._poc_cnt = 0
             self.idr_pic_id = (self.idr_pic_id + 1) % 16
         poc_lsb = (2 * self._poc_cnt) % 256
         self._poc_cnt += 1
-        self.frame_num = (self.frame_num + 1) % sps.max_frame_num
+        if tid == 0:        # frame_num advances per REFERENCE frame (7.4.3)
+            self.frame_num = (self.frame_num + 1) % sps.max_frame_num
         self.frame_idx += 1
         try:
             packed.copy_to_host_async()
@@ -297,7 +334,7 @@ class Encoder:
         return {"packed": packed, "mad": mad, "is_idr": is_idr,
                 "qp": qp, "qp_val": qp_val, "ranges": ranges,
                 "slice_id": slice_id, "gw": gw, "gh": gh,
-                "width": width, "height": height,
+                "width": width, "height": height, "tid": tid,
                 "frame_num": frame_num, "idr_pic_id": self.idr_pic_id,
                 "poc_lsb": poc_lsb}
 
@@ -314,9 +351,9 @@ class Encoder:
             shared, row = pend["packed_shared"]
             if shared["np"] is None:
                 shared["np"] = np.asarray(shared["dev"])  # one fetch/chunk
-            buf = shared["np"][row]
+            buf = shared["np"][row].astype(np.int32)
         else:
-            buf = np.asarray(pend["packed"])
+            buf = np.asarray(pend["packed"]).astype(np.int32)
 
         if is_idr:
             arrays = unpack(buf, INTRA_FIELDS, gh, gw)
@@ -325,7 +362,8 @@ class Encoder:
                                         is_idr=True, is_p=False,
                                         frame_num=pend["frame_num"],
                                         idr_pic_id=pend["idr_pic_id"],
-                                        poc_lsb=pend["poc_lsb"])
+                                        poc_lsb=pend["poc_lsb"],
+                                        ref_idc=3)
         else:
             from hartallo_tpu.decode.mv import compute_mvds_and_skip
             from hartallo_tpu.decode.slice_decode import (
@@ -356,7 +394,9 @@ class Encoder:
                                         skip_ok=skip_ok,
                                         frame_num=pend["frame_num"],
                                         idr_pic_id=pend["idr_pic_id"],
-                                        poc_lsb=pend["poc_lsb"])
+                                        poc_lsb=pend["poc_lsb"],
+                                        ref_idc=0 if pend.get("tid")
+                                        else 2)
 
         headers = self._headers if is_idr else b""
         if self._rc is not None:
@@ -365,7 +405,8 @@ class Encoder:
             bits = (len(payload) + len(headers)) * 8
             self._rc.end_frame(pend["qp_val"], bits, mad, is_idr)
         return EncodeResult(data=payload, headers=headers,
-                            keyframe=is_idr)
+                            keyframe=is_idr,
+                            temporal_id=pend.get("tid", 0) or 0)
 
     # ------------------------------------------------------------------
     def _slice_ranges(self, gh: int):
@@ -381,7 +422,8 @@ class Encoder:
     def _pack_one_slice(self, sid: int, rng, arrays, qp,
                         mb_kind, *, is_idr: bool, is_p: bool,
                         mvd=None, skip_ok=None, frame_num=None,
-                        idr_pic_id=None, poc_lsb=0) -> bytes:
+                        idr_pic_id=None, poc_lsb=0,
+                        ref_idc=None) -> bytes:
         """Pack one independent slice NAL (the reference's per-slice
         bitstream design, hl_codec_264_encode.c).  ``rng`` is either a
         contiguous MB-row range (r0, r1) or an int32 array of MB
@@ -408,10 +450,11 @@ class Encoder:
             idr_pic_id=idr_pic_id if is_idr else 0,
             pic_order_cnt_lsb=poc_lsb if sps.pic_order_cnt_type == 0 else 0,
             slice_qp_delta=int(qp[fy, fx]) - pps.pic_init_qp,
-            disable_deblocking_filter_idc=0 if self.cfg.deblock else 1)
+            disable_deblocking_filter_idc=self._deblock_idc())
         w = BitWriter()
         ntype = N.NAL_SLICE_IDR if is_idr else N.NAL_SLICE
-        ref_idc = 3 if is_idr else 2
+        if ref_idc is None:
+            ref_idc = 3 if is_idr else 2
         N.write_nal_header(w, ref_idc, ntype)
         write_slice_header(w, hdr, sps, pps, nal_ref_idc=ref_idc,
                            is_idr=is_idr)
@@ -455,7 +498,7 @@ class Encoder:
     # ------------------------------------------------------------------
     def _pack_slices(self, arrays, qp, mb_kind, ranges, *, is_idr: bool,
                      is_p: bool, mvd=None, skip_ok=None, frame_num=None,
-                     idr_pic_id=None, poc_lsb=0) -> bytes:
+                     idr_pic_id=None, poc_lsb=0, ref_idc=None) -> bytes:
         """All slices of the frame; packed in parallel host workers when
         cfg.threads > 1 (the native packer releases the GIL)."""
         if len(ranges) > 1 and self.cfg.threads > 1:
@@ -467,7 +510,7 @@ class Encoder:
                         t[0], t[1], arrays, qp, mb_kind,
                         is_idr=is_idr, is_p=is_p, mvd=mvd, skip_ok=skip_ok,
                         frame_num=frame_num, idr_pic_id=idr_pic_id,
-                        poc_lsb=poc_lsb),
+                        poc_lsb=poc_lsb, ref_idc=ref_idc),
                     enumerate(ranges)))
         else:
             parts = [self._pack_one_slice(sid, rng, arrays, qp, mb_kind,
@@ -475,7 +518,8 @@ class Encoder:
                                           mvd=mvd, skip_ok=skip_ok,
                                           frame_num=frame_num,
                                           idr_pic_id=idr_pic_id,
-                                          poc_lsb=poc_lsb)
+                                          poc_lsb=poc_lsb,
+                                          ref_idc=ref_idc)
                      for sid, rng in enumerate(ranges)]
         return b"".join(parts)
 

@@ -4,8 +4,10 @@ Reference parity: ``hl_codec_264_encode.c:282-367`` (SVC NAL prefix/
 extension writing) and the spatial-scalability encode path
 (``hl_codec_264_encode.c:288-289`` — the reference supports spatial
 scalability only; quality/temporal hardwired to 0).  This implementation
-adds simple temporal scalability on top (non-reference P frames marked
-with temporal_id = 1, droppable), which the reference lacks.
+adds real temporal scalability on top (cfg.temporal_layers=2: alternate
+P frames are non-reference with temporal_id = 1 in the prefix/extension
+NAL header, droppable without affecting the T0 chain), which the
+reference lacks (hl_codec_264_encode.c:288-289 hardwires temporal_id 0).
 
 Layer scheme (round-1 scope):
 - base layer: plain AVC (SPS/PPS id 0), each slice preceded by a prefix
@@ -75,10 +77,13 @@ class SvcEncoder:
         r = enc.encode_frame(frame, w, h)
         svc = N.NalSvcExt(idr_flag=1 if r.keyframe else 0,
                           no_inter_layer_pred_flag=1,
-                          dependency_id=0, quality_id=0, temporal_id=0)
-        prefix = _prefix_nal(svc, 3 if r.keyframe else 2)
+                          dependency_id=0, quality_id=0,
+                          temporal_id=r.temporal_id)
+        ref_idc = 3 if r.keyframe else (0 if r.temporal_id else 2)
+        prefix = _prefix_nal(svc, ref_idc)
         return EncodeResult(data=prefix + r.data, headers=r.headers,
-                            keyframe=r.keyframe)
+                            keyframe=r.keyframe,
+                            temporal_id=r.temporal_id)
 
     # ------------------------------------------------------------------
     def _setup_enh(self, enc: Encoder, li: int, width, height) -> None:
@@ -129,6 +134,7 @@ class SvcEncoder:
         enc.gop_left = max(enc.cfg.gop_size, 1)
         enc.gop_left -= 1
         enc.frame_num = 0
+        enc._poc_cnt = 1     # IDR is frame 0 of the GOP (temporal phase)
 
         base = self.layers[li - 1]
         if base._ref_planes is None:
@@ -273,17 +279,21 @@ class SvcEncoder:
     def _encode_enh_p(self, enc: Encoder, li: int, frame, width,
                       height) -> EncodeResult:
         """P frame within the enhancement layer, wrapped as NAL 20 with
-        no_inter_layer_pred = 1."""
+        no_inter_layer_pred = 1.  EVERY slice NAL of the frame is
+        rewrapped (multi-slice and FMO layouts produce several)."""
+        from hartallo_tpu.bitio import find_nal_units
         r = enc.encode_frame(frame, width, height)
-        # rewrap: replace the NAL header (type 1, 1 byte) with an SVC
-        # extension header (type 20, 4 bytes)
-        data = r.data
-        assert data[:4] == b"\x00\x00\x00\x01"
-        nal = data[4:]
         svc = N.NalSvcExt(idr_flag=0, no_inter_layer_pred_flag=1,
-                          dependency_id=li, quality_id=0, temporal_id=0)
-        w = BitWriter()
-        N.write_nal_header(w, 2, N.NAL_SLICE_EXT, svc)
-        hdr4 = w.getvalue()
-        return EncodeResult(data=_annexb(hdr4 + nal[1:]), headers=b"",
-                            keyframe=False)
+                          dependency_id=li, quality_id=0,
+                          temporal_id=r.temporal_id)
+        ref_idc = 0 if r.temporal_id else 2
+        out = b""
+        for s0, e0 in find_nal_units(r.data):
+            nal = r.data[s0:e0]
+            # replace the 1-byte AVC NAL header with the 4-byte SVC
+            # extension header (type 20)
+            w = BitWriter()
+            N.write_nal_header(w, ref_idc, N.NAL_SLICE_EXT, svc)
+            out += _annexb(w.getvalue() + nal[1:])
+        return EncodeResult(data=out, headers=b"",
+                            keyframe=False, temporal_id=r.temporal_id)

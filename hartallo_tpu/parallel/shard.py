@@ -150,7 +150,230 @@ def p_encode_step_sharded(mesh: Mesh, srcY, srcU, srcV, refY, refU, refV,
     return step(*args)
 
 
-def gop_pipeline_specs(mesh: Mesh):
-    """Sharding specs for the GOP-across-hosts axis (frames dimension
-    sharded over 'gop'); used once multi-host meshes are available."""
-    return NamedSharding(mesh, P(mesh.axis_names[0]))
+# ---------------------------------------------------------------------------
+# Sharded decode (SURVEY.md §2.4 row 3: decode MB parallelism across chips)
+# ---------------------------------------------------------------------------
+
+def decode_frame_step_sharded(mesh: Mesh, packed, refY, refU, refV,
+                              *, gw: int, gh: int, chroma_qp_off: int,
+                              has_intra: bool):
+    """One frame of the decode pipeline row-sharded over the mesh.
+
+    packed: (gh*gw, WORDS) int32 per-MB buffer (host parse, MB raster
+    order) — sharded by MB-row bands; ref planes (H, W)/(H/2, W/2) int32
+    UNPADDED, row-sharded.  Streams must be band-independent (one slice
+    per band with disable_deblocking_filter_idc=2 — the packed fmb flags
+    already encode the slice-boundary gating, so the per-band deblock is
+    spec-exact).  MC reads into neighbor bands through a ppermute'd ref
+    halo, after which each band computes its own half-pel grids.
+
+    Returns (y_u8 (H, W), uv_u8 (H/2, W) row-interleaved U/V, recY,
+    recU, recV) — all band-sharded.
+    """
+    from hartallo_tpu.decode.d_gop import _OFF, _field
+    from hartallo_tpu.decode.intra_recon import intra_reconstruct
+    from hartallo_tpu.ops.deblock import deblock_frame_s1
+    from hartallo_tpu.ops.wide import (compute_bs_grids, halfpel_planes,
+                                       mc_chroma_plane, mc_grids,
+                                       mc_luma_plane, residual_planes_wide)
+    n = mesh.devices.size
+    assert gh % n == 0, (gh, n)
+    gh_l = gh // n
+    axis = mesh.axis_names[0]
+    H_l, W = gh_l * 16, gw * 16
+    _J_QPC = jnp.asarray(QP_SCALE_CHROMA)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(axis)),
+             out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+             check_vma=False)
+    def step(pk, rY, rU, rV):
+        pk = pk.astype(jnp.int32)                    # int16 on the wire
+        pk3 = pk[None]                               # (1, Nmb_l, WORDS)
+        qp = _field(pk3, "qp", gw, gh_l)[0]
+        kind = _field(pk3, "kind", gw, gh_l)[0]
+        M = gh_l * gw
+        res_y, res_c = residual_planes_wide(
+            pk[:, slice(*_OFF["luma_ac"][:2])].reshape(M, 16, 16),
+            pk[:, slice(*_OFF["luma_dc"][:2])].reshape(M, 16),
+            pk[:, slice(*_OFF["chroma_ac"][:2])].reshape(M, 2, 4, 16),
+            pk[:, slice(*_OFF["chroma_dc"][:2])].reshape(M, 2, 4),
+            qp.reshape(M), (kind == 1).reshape(M), chroma_qp_off,
+            _J_QPC, gw, gh_l)
+        res_y, res_c = res_y[0], res_c[0]
+
+        # reference halo + per-band half-pel grids
+        rYp = _halo_pad(rY, n, axis)
+        stackY = halfpel_planes(rYp)[None]           # (1, 4, Hp, Wp)
+        rUp = _halo_pad(rU, n, axis)[None]
+        rVp = _halo_pad(rV, n, axis)[None]
+
+        N = M * 16
+        mv = _field(pk3, "mv", gw, gh_l)[0].reshape(N, 2)
+        slot = jnp.zeros((N,), jnp.int32)
+        wp_l = _field(pk3, "wp_l", gw, gh_l)[0].reshape(gh_l, gw, 2, 2, 3)
+        wp_l = jnp.repeat(jnp.repeat(wp_l, 2, 2), 2, 3).reshape(N, 3)
+        wp_c = _field(pk3, "wp_c", gw, gh_l)[0] \
+            .reshape(gh_l, gw, 2, 2, 2, 3)
+        wp_c = jnp.repeat(jnp.repeat(wp_c, 2, 2), 2, 3).reshape(N, 2, 3)
+        bx, by, cbx, cby = mc_grids(gw, gh_l)
+        pY = mc_luma_plane(stackY, slot, bx, by, mv[:, 0], mv[:, 1],
+                           wp_l, gw, gh_l)
+        pU = mc_chroma_plane(rUp, slot, cbx, cby, mv[:, 0], mv[:, 1],
+                             wp_c[:, 0], gw, gh_l)
+        pV = mc_chroma_plane(rVp, slot, cbx, cby, mv[:, 0], mv[:, 1],
+                             wp_c[:, 1], gw, gh_l)
+        inter_mask = (kind >= 3) & (kind != 8)
+        mY = jnp.repeat(jnp.repeat(inter_mask, 16, 0), 16, 1)
+        mC = jnp.repeat(jnp.repeat(inter_mask, 8, 0), 8, 1)
+        y0 = jnp.pad(jnp.where(mY, jnp.clip(pY + res_y, 0, 255), 0), PAD)
+        u0 = jnp.pad(jnp.where(mC, jnp.clip(pU + res_c[0], 0, 255), 0),
+                     PAD)
+        v0 = jnp.pad(jnp.where(mC, jnp.clip(pV + res_c[1], 0, 255), 0),
+                     PAD)
+        if has_intra:
+            kint = jnp.where(kind == 0, 0, jnp.where(kind == 1, 1, 2))
+            ry_mb = res_y.reshape(gh_l, 16, gw, 16).transpose(0, 2, 1, 3)
+            rc_mb = res_c.reshape(2, gh_l, 8, gw, 8) \
+                .transpose(1, 3, 0, 2, 4)
+            y0, u0, v0 = intra_reconstruct(
+                (y0, u0, v0), ry_mb, rc_mb, kint,
+                _field(pk3, "i16_mode", gw, gh_l)[0],
+                _field(pk3, "i4_modes", gw, gh_l)[0],
+                _field(pk3, "chroma_mode", gw, gh_l)[0],
+                _field(pk3, "avail_l", gw, gh_l)[0] != 0,
+                _field(pk3, "avail_t", gw, gh_l)[0] != 0,
+                gw=gw, gh=gh_l)
+
+        nnz = _field(pk3, "nnz", gw, gh_l)[0] \
+            .transpose(0, 2, 1, 3).reshape(4 * gh_l, 4 * gw)
+        mvg = _field(pk3, "mv", gw, gh_l)[0] \
+            .transpose(0, 2, 1, 3, 4).reshape(4 * gh_l, 4 * gw, 2)
+        ref_slot = _field(pk3, "ref_idx", gw, gh_l)[0]
+        refg = jnp.repeat(jnp.repeat(
+            ref_slot.reshape(gh_l, gw, 2, 2), 2, 2), 2, 3) \
+            .transpose(0, 2, 1, 3).reshape(4 * gh_l, 4 * gw)
+        mb_is_intra = (kind <= 2) | (kind == 8)
+        bs_vg, bs_hg = compute_bs_grids(
+            mb_is_intra, nnz, mvg, refg,
+            _field(pk3, "fmb_v", gw, gh_l)[0] != 0,
+            _field(pk3, "fmb_h", gw, gh_l)[0] != 0,
+            _field(pk3, "fint", gw, gh_l)[0] != 0)
+        bs_v = bs_vg.reshape(gh_l, 4, gw, 4).transpose(0, 2, 3, 1)
+        bs_h = bs_hg.reshape(gh_l, 4, gw, 4).transpose(0, 2, 1, 3)
+        qpc = _J_QPC[jnp.clip(qp + chroma_qp_off, 0, 51)]
+        qp_l = jnp.concatenate([qp[:, :1], qp[:, :-1]], axis=1)
+        qp_t = jnp.concatenate([qp[:1, :], qp[:-1, :]], axis=0)
+        qpc_l = jnp.concatenate([qpc[:, :1], qpc[:, :-1]], axis=1)
+        qpc_t = jnp.concatenate([qpc[:1, :], qpc[:-1, :]], axis=0)
+        yp, up, vp = deblock_frame_s1(
+            (y0, u0, v0), bs_v, bs_h, qp, qp_l, qp_t, qpc, qpc_l, qpc_t,
+            _field(pk3, "alpha_off", gw, gh_l)[0],
+            _field(pk3, "beta_off", gw, gh_l)[0], gw=gw, gh=gh_l)
+        y = jax.lax.dynamic_slice(yp, (PAD, PAD), (H_l, W))
+        u = jax.lax.dynamic_slice(up, (PAD, PAD), (H_l // 2, W // 2))
+        v = jax.lax.dynamic_slice(vp, (PAD, PAD), (H_l // 2, W // 2))
+        uv = jnp.stack([u, v], axis=1).reshape(H_l // 2, W)
+        # y and uv emitted separately: the band concatenation along the
+        # sharded axis then yields globally-contiguous planes
+        return y.astype(jnp.uint8), uv.astype(jnp.uint8), y, u, v
+
+    sh = NamedSharding(mesh, P(axis))
+    args = [jax.device_put(jnp.asarray(packed), sh)] + \
+        [jax.device_put(jnp.asarray(a, jnp.int32), sh)
+         for a in (refY, refU, refV)]
+    return step(*args)
+
+
+def _first_mb_is_zero(nal: bytes) -> bool:
+    from hartallo_tpu.bitio import BitReader, strip_emulation_prevention
+    r = BitReader(strip_emulation_prevention(nal))
+    r.u(8)                                     # NAL header
+    return r.ue() == 0                         # first_mb_in_slice
+
+
+def split_gops(stream: bytes):
+    """IDR-cut a stream into self-contained GOP byte ranges, each
+    prefixed with the SPS/PPS NALs (the GOP-across-hosts unit —
+    SURVEY.md §2.4 row 7 / BASELINE config 5)."""
+    from hartallo_tpu.bitio import find_nal_units
+    headers = b""
+    gops = []
+    cur = b""
+    for s0, e0 in find_nal_units(stream):
+        nal = stream[s0:e0]
+        t = nal[0] & 0x1F
+        chunk = b"\x00\x00\x00\x01" + nal
+        if t in (7, 8, 15):                    # SPS/PPS/subset-SPS
+            headers += chunk
+        elif t == 5 and _first_mb_is_zero(nal):
+            # IDR picture start (first slice only — multi-slice frames
+            # carry one IDR NAL per slice): new GOP
+            if cur:
+                gops.append(cur)
+            cur = headers + chunk
+        else:
+            cur += chunk
+    if cur:
+        gops.append(cur)
+    return gops
+
+
+def decode_gops_grouped(mesh: Mesh, stream: bytes, groups: int):
+    """GOP-pipeline driver: IDR-cut the stream and decode GOP g on mesh
+    device group g % groups, each group row-sharding its frames
+    (decode_frame_step_sharded).  Groups run concurrently (dispatches
+    interleave); outputs return in stream order.
+
+    The "hosts" axis of BASELINE config 5 maps to device groups here —
+    on a real multi-host mesh the same code runs with each group on one
+    host and DCN between them (no inter-group communication exists:
+    GOPs are independent by construction)."""
+    devs = list(mesh.devices.flat)
+    per = len(devs) // groups
+    submeshes = [Mesh(np.array(devs[g * per:(g + 1) * per]),
+                      (mesh.axis_names[0],)) for g in range(groups)]
+    out = []
+    for g, gop in enumerate(split_gops(stream)):
+        out.append(_decode_gop_sharded(submeshes[g % groups], gop))
+    return [f for gop_frames in out for f in gop_frames]
+
+
+def _decode_gop_sharded(mesh: Mesh, gop_stream: bytes):
+    """Decode one GOP with every frame row-sharded over ``mesh``; host
+    parse feeds packed buffers, recon planes stay device-resident and
+    sharded between frames."""
+    from hartallo_tpu.decode.decoder import Decoder
+    import numpy as _np
+
+    results = []
+    dec = Decoder(batch_k=1)
+
+    state = {"ref": None}
+    orig = Decoder._flush
+
+    def flush_sharded(self, layer):
+        jobs, layer.jobs = layer.jobs, []
+        for job in jobs:
+            gw, gh = job.gw, job.gh
+            H, W = gh * 16, gw * 16
+            if state["ref"] is None:
+                z = _np.zeros((H, W), _np.int32)
+                zc = _np.zeros((H // 2, W // 2), _np.int32)
+                state["ref"] = (z, zc, zc)
+            rY, rU, rV = state["ref"]
+            pps_off = layer.ring_key[3] if layer.ring_key else 0
+            yo, uvo, y, u, v = decode_frame_step_sharded(
+                mesh, job.packed, rY, rU, rV, gw=gw, gh=gh,
+                chroma_qp_off=pps_off, has_intra=bool(job.has_intra))
+            state["ref"] = (y, u, v)
+            out = _np.concatenate([_np.asarray(yo), _np.asarray(uvo)])
+            job.out = (out[None], 0)
+
+    Decoder._flush = flush_sharded
+    try:
+        res = dec.decode_annexb(gop_stream, tolerant=False)
+        results = [r.frame for r in res]
+    finally:
+        Decoder._flush = orig
+    return results

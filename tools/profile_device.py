@@ -94,10 +94,12 @@ def main():
 
     # whole fused programs
     src_u8 = jnp.asarray(rng.integers(0, 255, (H * 3 // 2, W)), jnp.uint8)
+    fmb_v = jnp.zeros((gh, gw), bool).at[:, 1:].set(True)
+    fmb_h = jnp.zeros((gh, gw), bool).at[1:, :].set(True)
     print(f"p_frame_fused:        "
-          f"{timeit(p_frame_fused, src_u8, refY, refU, refV, qp, lam, gw=gw, gh=gh, rng=R, refine=True, chroma_qp_off=0, deblock=True):8.2f} ms")
+          f"{timeit(p_frame_fused, src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h, gw=gw, gh=gh, rng=R, refine=True, chroma_qp_off=0, deblock=True):8.2f} ms")
     print(f"i_frame_fused:        "
-          f"{timeit(i_frame_fused, src_u8, qp, lam, jnp.asarray(al), jnp.asarray(at), gw=gw, gh=gh, chroma_qp_off=0, deblock=True):8.2f} ms")
+          f"{timeit(i_frame_fused, src_u8, qp, lam, jnp.asarray(al), jnp.asarray(at), fmb_v, fmb_h, gw=gw, gh=gh, chroma_qp_off=0, deblock=True):8.2f} ms")
 
     # decode-side fused program
     from hartallo_tpu.decode.d_fused import decode_frame_fused
