@@ -9,12 +9,24 @@ buffer (emulation-prevention bytes already stripped; see
 from __future__ import annotations
 
 
+#: Reads may run this many bits past the RBSP end, returning zero bits.
+#: The reference decoder's NAL buffer is zero-padded
+#: (``hl_codec_264.c:193-205``) and its cursor reads the padding silently,
+#: which matters because the reference *encoder* under-writes the final
+#: CAVLC level escape on dense content (stale entries in its level table,
+#: ``hl_codec_264_cavlc.c:76``): a bit-exact decode of such streams must
+#: consume the same zero tail instead of raising at the payload boundary.
+PAD_BITS = 256
+
+
 class BitReader:
     __slots__ = ("data", "nbits", "pos")
 
     def __init__(self, data: bytes):
-        self.data = bytes(data)
-        self.nbits = len(self.data) * 8
+        # zero tail so reads can run (bounded) past the payload; `nbits`
+        # stays the true payload length for more_rbsp_data/bits_left.
+        self.nbits = len(data) * 8
+        self.data = bytes(data) + b"\x00" * (PAD_BITS // 8)
         self.pos = 0  # absolute bit position
 
     # -- fixed-width ------------------------------------------------------
@@ -24,7 +36,7 @@ class BitReader:
             return 0
         pos = self.pos
         end = pos + n
-        if end > self.nbits:
+        if end > self.nbits + PAD_BITS:
             raise EOFError("bitstream overrun")
         first = pos >> 3
         last = (end + 7) >> 3
@@ -38,26 +50,21 @@ class BitReader:
 
     # -- Exp-Golomb -------------------------------------------------------
     def ue(self) -> int:
-        """Unsigned Exp-Golomb (spec 9.1)."""
-        # Peek up to 32 bits to locate the first 1 bit (leadingZeroBits).
-        pos = self.pos
-        zeros = 0
-        while True:
-            avail = min(32, self.nbits - pos)
-            if avail <= 0:
-                raise EOFError("ue(): bitstream overrun")
-            w = self._peek(pos, avail)
-            if w == 0:
-                zeros += avail
-                pos += avail
-                continue
-            lead = avail - w.bit_length()
-            zeros += lead
-            pos += lead
-            break
-        self.pos = pos + 1  # consume the terminating 1 bit
+        """Unsigned Exp-Golomb (spec 9.1), with the reference decoder's
+        16-bit-window semantics: leadingZeroBits = clz16(show(16)), capped
+        at 16 (``hl_codec_264_bits.h:697-705``, non-legacy path).  An
+        all-zero window therefore decodes deterministically instead of
+        scanning onward — required for bit-exact decode of streams the
+        reference encoder under-writes (see PAD_BITS)."""
+        w = self.peek(16)
+        if w == 0:
+            zeros = 16
+        else:
+            zeros = 16 - w.bit_length()
         if zeros == 0:
+            self.pos += 1
             return 0
+        self.skip(zeros + 1)
         info = self.u(zeros)
         return (1 << zeros) - 1 + info
 
@@ -83,7 +90,7 @@ class BitReader:
 
     def peek(self, n: int) -> int:
         """Peek n bits without consuming (short reads padded with 0s)."""
-        avail = self.nbits - self.pos
+        avail = self.nbits + PAD_BITS - self.pos
         if avail >= n:
             return self._peek(self.pos, n)
         if avail <= 0:
@@ -92,7 +99,7 @@ class BitReader:
 
     def skip(self, n: int) -> None:
         self.pos += n
-        if self.pos > self.nbits:
+        if self.pos > self.nbits + PAD_BITS:
             raise EOFError("skip past end")
 
     def byte_aligned(self) -> bool:
@@ -106,10 +113,11 @@ class BitReader:
         (the last 1 bit in the stream, followed only by zero bits)."""
         idx = self.pos >> 3
         used = self.pos & 7
-        width = (len(self.data) - idx) * 8 - used
+        nbytes = self.nbits >> 3  # true payload, excluding the zero pad
+        width = (nbytes - idx) * 8 - used
         if width <= 0:
             return False
-        tail = int.from_bytes(self.data[idx:], "big")
+        tail = int.from_bytes(self.data[idx:nbytes], "big")
         if used:
             tail &= (1 << width) - 1
         if tail == 0:

@@ -22,6 +22,16 @@ from hartallo_tpu.entropy import cavlc_tables as CT
 # coeff_token
 # ---------------------------------------------------------------------------
 
+# What the reference decoder does with bit patterns outside the spec VLC:
+# its HL_NO_CLZ piecewise tables are total functions whose unassigned
+# patterns land on explicit "error" entries {TO=0, TC=0, consume N bits}
+# (``hl_codec_264_cavlc.c:176-210``: TotCofNTrail1[0..1]={0,0,16},
+# TotCofNTrail2[0..1]={0,0,14}, TotCofNTrail3[0]={0,0,10}).  Garbage decode
+# must follow the same path to stay bit-exact with the reference on
+# streams its own encoder mis-writes.
+_CT_ERROR_SKIP = (16, 14, 10)
+
+
 def read_coeff_token(r: BitReader, nC: int) -> Tuple[int, int]:
     """Returns (TotalCoeff, TrailingOnes)."""
     if nC >= 8:
@@ -31,13 +41,19 @@ def read_coeff_token(r: BitReader, nC: int) -> Tuple[int, int]:
         return (code >> 2) + 1, code & 3
     if nC == -1:
         lut_sym, lut_len, maxlen = CT.COEFF_TOKEN_CDC_LUT
-    else:
-        ctx = 0 if nC < 2 else (1 if nC < 4 else 2)
-        lut_sym, lut_len, maxlen = CT.COEFF_TOKEN_LUT[ctx]
+        peek = r.peek(maxlen)
+        sym = int(lut_sym[peek])
+        if sym < 0:
+            raise ValueError("invalid chroma-DC coeff_token")
+        r.skip(int(lut_len[peek]))
+        return sym >> 2, sym & 3
+    ctx = 0 if nC < 2 else (1 if nC < 4 else 2)
+    lut_sym, lut_len, maxlen = CT.COEFF_TOKEN_LUT[ctx]
     peek = r.peek(maxlen)
     sym = int(lut_sym[peek])
     if sym < 0:
-        raise ValueError(f"invalid coeff_token (nC={nC})")
+        r.skip(_CT_ERROR_SKIP[ctx])   # reference error entry: TC=0, TO=0
+        return 0, 0
     r.skip(int(lut_len[peek]))
     return sym >> 2, sym & 3
 
@@ -62,11 +78,13 @@ def write_coeff_token(w: BitWriter, total_coeff: int, trailing_ones: int,
 # ---------------------------------------------------------------------------
 
 def _read_level_prefix(r: BitReader) -> int:
-    zeros = 0
-    while r.u1() == 0:
-        zeros += 1
-        if zeros > 60:
-            raise ValueError("level_prefix overrun")
+    """Reference semantics (``hl_codec_264_cavlc.c:407-420``): the prefix
+    is clz16 of a 16-bit window, so it is capped at 16 — an all-zero
+    window consumes 17 bits and yields prefix 16 instead of scanning on.
+    (This also means neither side of the codec may emit prefix > 16.)"""
+    w = r.peek(16)
+    zeros = 16 if w == 0 else 16 - w.bit_length()
+    r.skip(zeros + 1)
     return zeros
 
 
@@ -127,13 +145,26 @@ def read_residual_block(r: BitReader, nC: int,
     runs = np.zeros(total_coeff, dtype=np.int32)
     for i in range(total_coeff - 1):
         if zeros_left > 0:
-            lut_sym, lut_len, maxlen = \
-                CT.RUN_BEFORE_LUT[min(zeros_left, 7) - 1]
-            peek = r.peek(maxlen)
-            run = int(lut_sym[peek])
-            if run < 0:
-                raise ValueError("invalid run_before")
-            r.skip(int(lut_len[peek]))
+            if zeros_left >= 7:
+                # reference algorithm (hl_codec_264_cavlc.c:609-651):
+                # 3-bit code, run = 7 - code; code 0 escapes to a
+                # clz16-bounded unary tail (run up to 7 + 16).
+                t3 = r.u(3)
+                if t3:
+                    run = 7 - t3
+                else:
+                    p9 = r.peek(9)
+                    ind = 16 if p9 == 0 else 9 - p9.bit_length()
+                    run = 7 + ind
+                    r.skip(ind + 1)
+            else:
+                lut_sym, lut_len, maxlen = \
+                    CT.RUN_BEFORE_LUT[zeros_left - 1]
+                peek = r.peek(maxlen)
+                run = int(lut_sym[peek])
+                if run < 0:
+                    raise ValueError("invalid run_before")
+                r.skip(int(lut_len[peek]))
         else:
             run = 0
         runs[i] = run
@@ -142,7 +173,10 @@ def read_residual_block(r: BitReader, nC: int,
 
     pos = total_zeros + total_coeff - 1
     for i in range(total_coeff):
-        levels[pos] = level_val[i]
+        # garbage runs can push pos out of range; the reference scatters
+        # those into scratch slack (residual.c:573-578) — drop them here
+        if 0 <= pos < max_num_coeff:
+            levels[pos] = level_val[i]
         pos -= runs[i] + 1
     return levels, total_coeff
 

@@ -211,10 +211,19 @@ static inline uint32_t br_peek(BR *b, int n)
 
 static inline uint32_t br_peek16(BR *b) { return br_peek(b, 16); }
 
+/* Reads may run a bounded distance past the RBSP end, returning zero
+ * bits: the reference decoder's NAL buffer is zero-padded
+ * (hl_codec_264.c:193-205) and its cursor reads the padding silently,
+ * which matters because the reference *encoder* under-writes the final
+ * CAVLC level escape on dense content (stale entries in its level table,
+ * hl_codec_264_cavlc.c:76 `level_suffix <= (1<<levelSuffixSize)`); a
+ * bit-exact decode of such streams must consume the same zero tail. */
+#define BR_PAD_BITS 256
+
 static inline void br_skip(BR *b, int n)
 {
     b->pos += n;
-    if (b->pos > b->nbits) b->error = 1;
+    if (b->pos > b->nbits + BR_PAD_BITS) b->error = 1;
 }
 
 static inline uint32_t br_u(BR *b, int n)
@@ -232,11 +241,17 @@ static inline uint32_t br_u1(BR *b) { return br_u(b, 1); }
 
 static inline uint32_t br_ue(BR *b)
 {
-    int zeros = 0;
-    while (br_u1(b) == 0) {
-        if (++zeros > 31 || b->error) { b->error = 1; return 0; }
+    /* reference semantics (hl_codec_264_bits.h:697-705, non-legacy):
+     * leadingZeroBits = clz16(show(16)), capped at 16 — an all-zero
+     * window decodes deterministically instead of scanning on */
+    uint32_t w = br_peek(b, 16);
+    int zeros = 16;
+    if (w) {
+        zeros = 0;
+        while (!(w & 0x8000u)) { w <<= 1; ++zeros; }
     }
-    if (!zeros) return 0;
+    if (!zeros) { br_skip(b, 1); return 0; }
+    br_skip(b, zeros + 1);
     return (1u << zeros) - 1 + br_u(b, zeros);
 }
 
@@ -276,6 +291,13 @@ static int br_more_rbsp(BR *b)
 
 /* ------------------------------------------------------ residual decode */
 
+/* Bit patterns outside the spec VLCs follow the reference decoder's
+ * total-table semantics (hl_codec_264_cavlc.c:176-210): unassigned
+ * coeff_token patterns land on explicit error entries {TO=0, TC=0,
+ * consume 16/14/10 bits by nC context}, required for bit-exact decode
+ * of streams the reference encoder itself mis-writes. */
+static const int ct_error_skip[3] = { 16, 14, 10 };
+
 static int read_coeff_token(BR *b, int nC, int *tc, int *t1)
 {
     if (nC >= 8) {
@@ -296,18 +318,28 @@ static int read_coeff_token(BR *b, int nC, int *tc, int *t1)
     int ctx = nC < 2 ? 0 : (nC < 4 ? 1 : 2);
     uint32_t p = br_peek16(b);
     int16_t sym = ct_lut_sym[ctx][p];
-    if (sym < 0) return -1;
+    if (sym < 0) {
+        br_skip(b, ct_error_skip[ctx]);
+        *tc = 0; *t1 = 0;
+        return 0;
+    }
     br_skip(b, ct_lut_len[ctx][p]);
     *tc = sym >> 2; *t1 = sym & 3;
     return 0;
 }
 
+/* Reference semantics (hl_codec_264_cavlc.c:407-420): prefix is clz16
+ * of a 16-bit window, capped at 16; an all-zero window consumes 17 bits
+ * and yields 16 instead of scanning on. */
 static int read_level_prefix(BR *b)
 {
-    int zeros = 0;
-    while (br_u1(b) == 0) {
-        if (++zeros > 60 || b->error) return -1;
+    uint32_t w = br_peek(b, 16);
+    int zeros = 16;
+    if (w) {
+        zeros = 0;
+        while (!(w & 0x8000u)) { w <<= 1; ++zeros; }
     }
+    br_skip(b, zeros + 1);
     return zeros;
 }
 
@@ -362,12 +394,30 @@ static int read_residual_block(BR *b, int nC, int max_coeff, int32_t *out)
     for (int i = 0; i < tc - 1; ++i) {
         int run = 0;
         if (zl > 0) {
-            int row = (zl < 7 ? zl : 7) - 1;
-            uint32_t p = br_peek(b, 11);
-            int16_t s = rb_lut_sym[row][p];
-            if (s < 0) return -4;
-            br_skip(b, rb_lut_len[row][p]);
-            run = s;
+            if (zl >= 7) {
+                /* reference algorithm (hl_codec_264_cavlc.c:609-651):
+                 * 3-bit code, run = 7 - code; code 0 escapes to a
+                 * clz16-bounded unary tail (run up to 7 + 16). */
+                uint32_t t3 = br_u(b, 3);
+                if (t3) {
+                    run = 7 - (int)t3;
+                } else {
+                    uint32_t p9 = br_peek(b, 9);
+                    int ind = 16;
+                    if (p9) {
+                        ind = 0;
+                        while (!(p9 & 0x100u)) { p9 <<= 1; ++ind; }
+                    }
+                    run = 7 + ind;
+                    br_skip(b, ind + 1);
+                }
+            } else {
+                uint32_t p = br_peek(b, 11);
+                int16_t s = rb_lut_sym[zl - 1][p];
+                if (s < 0) return -4;
+                br_skip(b, rb_lut_len[zl - 1][p]);
+                run = s;
+            }
         }
         runs[i] = run;
         zl -= run;
@@ -375,8 +425,11 @@ static int read_residual_block(BR *b, int nC, int max_coeff, int32_t *out)
     runs[tc - 1] = zl;
     int posi = total_zeros + tc - 1;
     for (int i = 0; i < tc; ++i) {
-        if (posi < 0 || posi >= max_coeff) return -5;
-        out[posi] = (int32_t)lev[i];
+        /* garbage runs can push posi out of range; the reference
+         * scatters those into scratch slack (residual.c:573-578) —
+         * drop them here */
+        if (posi >= 0 && posi < max_coeff)
+            out[posi] = (int32_t)lev[i];
         posi -= runs[i] + 1;
     }
     return tc;

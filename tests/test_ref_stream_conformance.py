@@ -1,18 +1,23 @@
 """Reference-encoded streams with dense high-frequency content.
 
-KNOWN OPEN BUG (round-3 end): the reference encoder's output for content
-with strong gradients + noise (large CAVLC levels with escape codes,
-nC>=8 contexts, long run_before codes) desyncs our slice_data parse —
-BOTH the C fast path (slicec.c, error -12) and the Python oracle parser
-(EOF in coeff_token) fail at the same streams, while the reference
-decoder decodes them fine.  The existing QCIF differential tests pass,
-so the divergence is in a rarer symbol path the two parsers share.
+Round-3 postmortem (fixed in round 4): these streams desynced our
+slice_data parse while the reference decoder read them "fine".  The root
+cause is a *reference encoder* bug — its CAVLC level-encoding table is
+built with an out-of-range inner loop (`level_suffix <= (1 <<
+levelSuffixSize)`, hl_codec_264_cavlc.c:76) leaving stale entries, so on
+dense content (large escape levels) it under-writes a level code near the
+end of a slice.  The reference *decoder* never notices because its NAL
+buffer is zero-padded (hl_codec_264.c:193-205) and every VLC read is a
+bounded 16-bit-window lookup whose unassigned patterns land on explicit
+error entries; it deterministically decodes the zero tail and moves on.
 
-Kept as xfail: the repro is the bench clip (bench.make_clip) through
-``.refbuild/ref_driver encode``.  Top debugging lead: the level
-escape machinery matches hl_codec_264_residual.c:484-542 line for line,
-so the desync is most likely in the MB-layer syntax or the nC neighbor
-derivation for a case our own encoder never emits.
+Bit-exact decode of reference streams therefore requires emulating those
+cursor semantics exactly: bounded zero-pad reads past the RBSP end,
+clz16-capped ue()/level_prefix, total coeff_token tables with the
+reference's error entries, and its algorithmic run_before escape.  Both
+our C fast path (native/slicec.c) and the Python oracle parser implement
+them; these tests pin the behavior against the reference decoder's
+output.
 """
 import pathlib
 import subprocess
@@ -24,19 +29,35 @@ import pytest
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-@pytest.mark.xfail(reason="known CAVLC parse desync on dense-content "
-                   "reference streams (see module docstring)",
-                   strict=False)
-def test_dense_reference_stream_decodes(ref_driver, tmp_path):
+def _roundtrip(ref_driver, tmp_path, W, H, NF, qp, gop=None):
     import bench
     from hartallo_tpu.api import Codec, CodecConfig
-    W, H, NF = 176, 144, 2
     clip = bench.make_clip(W, H, NF)
     (tmp_path / "in.yuv").write_bytes(b"".join(bytes(f) for f in clip))
     subprocess.run([ref_driver, "encode", str(tmp_path / "in.yuv"),
-                    str(W), str(H), str(tmp_path / "out.264"), "30",
-                    str(NF), str(NF), "1", "16", "1"], check=True,
+                    str(W), str(H), str(tmp_path / "out.264"), str(qp),
+                    str(NF), str(gop or NF), "1", "16", "1"], check=True,
                    capture_output=True, timeout=300)
     stream = (tmp_path / "out.264").read_bytes()
+    subprocess.run([ref_driver, "decode", str(tmp_path / "out.264"),
+                    str(tmp_path / "ref.yuv")], check=True,
+                   capture_output=True, timeout=300)
     out = Codec(CodecConfig()).decode_annexb(stream, tolerant=False)
     assert len(out) == NF
+    ours = b"".join(bytes(np.asarray(f.frame, np.uint8).ravel())
+                    for f in out)
+    ref = (tmp_path / "ref.yuv").read_bytes()
+    assert ours == ref, "decode differs from reference decoder"
+
+
+def test_dense_reference_stream_decodes(ref_driver, tmp_path):
+    _roundtrip(ref_driver, tmp_path, 176, 144, 2, 30)
+
+
+@pytest.mark.parametrize("qp", [16, 24, 36])
+def test_dense_reference_stream_qp_sweep(ref_driver, tmp_path, qp):
+    _roundtrip(ref_driver, tmp_path, 176, 144, 3, qp)
+
+
+def test_dense_reference_stream_cif(ref_driver, tmp_path):
+    _roundtrip(ref_driver, tmp_path, 352, 288, 4, 30)
