@@ -33,7 +33,38 @@ import numpy as np
 from hartallo_tpu.core.tables import QP_SCALE_CHROMA
 from hartallo_tpu.decode.d_fused import DEC_FIELDS
 from hartallo_tpu.decode.intra_recon import PAD, intra_reconstruct
-from hartallo_tpu.ops.deblock import deblock_frame_s1 as deblock_frame
+from hartallo_tpu.ops.deblock import deblock_frame_s1
+
+
+def _pick_deblock():
+    """HARTALLO_PALLAS=1 opts the GOP scan into the Pallas wavefront
+    kernel (ops/deblock_pallas.py) on TPU backends.  The kernel is
+    bit-exact and ~2x faster than the XLA scan in isolation
+    (tests/test_deblock_pallas.py), but as a custom-call inside the
+    scanned GOP program it currently breaks XLA's loop fusion and loses
+    end-to-end — the default stays the XLA scan until the whole
+    per-frame pipeline moves into the kernel."""
+    import os
+    if not os.environ.get("HARTALLO_PALLAS"):
+        return deblock_frame_s1
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:                                    # noqa: BLE001
+        platform = "cpu"
+    if platform in ("tpu", "axon"):
+        from hartallo_tpu.ops.deblock_pallas import deblock_frame_pl
+        return deblock_frame_pl
+    return deblock_frame_s1
+
+
+deblock_frame = None
+
+
+def _deblock(*args, **kw):
+    global deblock_frame
+    if deblock_frame is None:
+        deblock_frame = _pick_deblock()
+    return deblock_frame(*args, **kw)
 from hartallo_tpu.ops.wide import (compute_bs_grids, halfpel_planes,
                                    mc_chroma_plane, mc_grids,
                                    mc_luma_plane, residual_planes_wide)
@@ -163,7 +194,7 @@ def decode_gop(packed, write_slot, has_intra, ringY, ringU, ringV,
 
         planes = jax.lax.cond(hintra, intra_branch, lambda o: o,
                               (y0, u0, v0))
-        y2p, u2p, v2p = deblock_frame(
+        y2p, u2p, v2p = _deblock(
             planes, bsv, bsh, qpf, qplf, qptf, qpcf, qpclf, qpctf,
             offa, offb, gw=gw, gh=gh)
 

@@ -66,8 +66,25 @@ class _Job:
         self.packed = packed
         self.wslot = wslot
         self.has_intra = has_intra
-        self.out = None                  # (batch uint8 array, row index)
+        self.out = None                  # (_BatchOut, row index)
         self.gw, self.gh = gw, gh
+
+
+class _BatchOut:
+    """One dispatched batch's output; fetched device->host once and
+    shared by every frame of the batch (a per-frame np.asarray would
+    re-transfer the whole batch each time)."""
+    __slots__ = ("dev", "host")
+
+    def __init__(self, dev):
+        self.dev = dev
+        self.host = None
+
+    def fetch(self) -> np.ndarray:
+        if self.host is None:
+            self.host = np.asarray(self.dev)
+            self.dev = None
+        return self.host
 
 
 class BatchSlot:
@@ -84,8 +101,8 @@ class BatchSlot:
         from hartallo_tpu.decode.d_gop import split_gop_out
         if self._job.out is None:
             self._decoder._flush(self._layer)
-        arr, i = self._job.out
-        return split_gop_out(np.asarray(arr)[i], self.gw, self.gh)
+        batch, i = self._job.out
+        return split_gop_out(batch.fetch()[i], self.gw, self.gh)
 
 
 class PendingFrame:
@@ -434,8 +451,9 @@ class Decoder:
             outs.copy_to_host_async()
         except Exception:                                # noqa: BLE001
             pass
+        batch = _BatchOut(outs)
         for i, j in enumerate(jobs):
-            j.out = (outs, i)
+            j.out = (batch, i)
 
     def _materialize_ring_frames(self, layer: _Layer) -> None:
         """Give every in-ring DPB frame concrete padded planes (for the

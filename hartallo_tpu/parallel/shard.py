@@ -368,7 +368,8 @@ def _decode_gop_sharded(mesh: Mesh, gop_stream: bytes):
                 chroma_qp_off=pps_off, has_intra=bool(job.has_intra))
             state["ref"] = (y, u, v)
             out = _np.concatenate([_np.asarray(yo), _np.asarray(uvo)])
-            job.out = (out[None], 0)
+            from hartallo_tpu.decode.decoder import _BatchOut
+            job.out = (_BatchOut(out[None]), 0)
 
     Decoder._flush = flush_sharded
     try:
