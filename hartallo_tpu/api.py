@@ -48,6 +48,8 @@ class CodecConfig:
     # temporal scalability: 2 -> alternate P frames are non-reference
     # (temporal_id 1, droppable); 1 = single temporal layer
     temporal_layers: int = 1
+    svc_inter_layer_p: bool = True           # EP base_mode (G.8.6.1) for
+                                             # enhancement-layer P frames
     # decode-side temporal window: drop slices with temporal_id > tid_max
     # (-1 = decode everything)
     tid_max: int = -1

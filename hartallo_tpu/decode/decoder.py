@@ -52,6 +52,7 @@ class _Layer:
         self.dpb = DPB()
         self.poc = PocDecoder()
         self.last_recon = None
+        self.last_motion = None          # (mv, ref_idx, intra, gw, gh)
         # batched-path state
         self.ring = None                 # (ringY, ringU, ringV)
         self.ring_key = None             # (gw, gh, S, chroma_qp_off)
@@ -266,8 +267,18 @@ class Decoder:
         sd.wp[sid] = sh.pred_weights
 
         if (sd.mb_kind >= 0).all():
+            from hartallo_tpu.decode.slice_decode import MB_PBL
+            if svc_il and (bool((sd.mb_kind == MB_PBL).any()) or
+                           bool(sd.motion_pred_l0.any())):
+                self._infer_inter_layer_motion(sd, sps, layer.hdr, dqid)
             frame, poc = self._reconstruct(sps, pps, layer.hdr, layer.nal,
                                            sd, layer, dqid)
+            # per-picture motion state for a following enhancement
+            # layer's G.8.6.1 inference (base_mode_flag)
+            layer.last_motion = (
+                sd.mv, getattr(sd, "ref_idx_list", sd.ref_idx),
+                (sd.mb_kind <= 2) | (sd.mb_kind == MB_IBL),
+                sd.gw, sd.gh)
             layer.cur = None
             if self.dqid_min >= 0 and dqid < self.dqid_min:
                 return DecodeResult()
@@ -276,6 +287,40 @@ class Decoder:
             return DecodeResult(frame=frame, width=sps.width,
                                 height=sps.height, dqid=dqid, poc=poc)
         return DecodeResult()
+
+    # ------------------------------------------------------------------
+    def _infer_inter_layer_motion(self, sd: SliceData, sps: SPS,
+                                  sh: SliceHeader, dqid: int) -> None:
+        """G.8.6.1 motion inference for base_mode_flag=1 EP macroblocks
+        (and inter-layer MV predictors for motion_prediction_flag_l0):
+        fills sd.mv/sd.ref_idx for MB_PBL macroblocks from the reference
+        layer's decoded motion, and flips MBs whose co-located reference
+        MB is intra to MB_IBL (intraILPredFlag branch).
+
+        Reference: hl_codec_264_utils.c:1674-2006 (G.8.6.1.1/.2) +
+        :1498-1671 (G.8.4.1 SVC), RSRC dyadic/same-res subset."""
+        from hartallo_tpu.decode.slice_decode import MB_IBL, MB_PBL
+        from hartallo_tpu.svc.motion import infer_inter_layer_motion
+        base_dqid = sh.ref_layer_dq_id if sh.ref_layer_dq_id >= 0 \
+            else dqid - 16
+        base = self.layers.get(base_dqid)
+        if base is None or base.last_motion is None:
+            raise ValueError("base_mode_flag without decoded base layer")
+        bmv, bref, bintra, bgw, bgh = base.last_motion
+        ratio = sd.gw // bgw
+        if ratio not in (1, 2) or sd.gh // bgh != ratio:
+            raise ValueError(f"unsupported inter-layer ratio "
+                             f"({bgw}x{bgh} -> {sd.gw}x{sd.gh})")
+        mv_il, ref_il, ibl = infer_inter_layer_motion(
+            bmv, bref, bintra, sd.gw, sd.gh, ratio)
+        pbl = sd.mb_kind == MB_PBL
+        sd.mb_kind[pbl & ibl] = MB_IBL
+        take = pbl & ~ibl
+        sd.mv[take] = mv_il[take]
+        sd.ref_idx[take] = ref_il[take].astype(sd.ref_idx.dtype)
+        # inter-layer predictors for motion_prediction_flag partitions
+        sd._il_mv = mv_il
+        sd._il_ref = ref_il
 
     # ------------------------------------------------------------------
     def _reconstruct(self, sps: SPS, pps: PPS, sh: SliceHeader,
@@ -331,6 +376,9 @@ class Decoder:
                     f.in_ring = True
             wp_l, wp_c = self._weight_arrays(sd, len(reflist))
             slot_of = np.array([f.slot for f in reflist], np.int32)
+            sd.ref_idx_list = sd.ref_idx.copy()   # list-index view (kept
+            # for a following EL's G.8.6.1 inference; slots below are
+            # ring-local)
             sd.ref_idx = slot_of[np.clip(sd.ref_idx.astype(np.int64), 0,
                                          len(reflist) - 1)]
         else:

@@ -14,7 +14,8 @@ from __future__ import annotations
 import numpy as np
 
 from hartallo_tpu.decode.slice_decode import (MB_P16X16, MB_P16X8, MB_P8X16,
-                                              MB_P8X8, MB_PSKIP, SliceData)
+                                              MB_P8X8, MB_PBL, MB_PSKIP,
+                                              SliceData)
 
 
 def _median(a, b, c):
@@ -108,7 +109,9 @@ def derive_mvs(sd: SliceData) -> None:
     state machine is a host hot loop at 1080p); ``derive_mvs_py`` is the
     oracle implementation."""
     from hartallo_tpu import native
-    if native.available():
+    has_svc = bool((sd.mb_kind == MB_PBL).any()) or \
+        (sd.motion_pred_l0 is not None and bool(sd.motion_pred_l0.any()))
+    if native.available() and not has_svc:
         sd.mv[:, :] = native.derive_mvs(sd.gw, sd.gh, sd.mb_kind, sd.mvd,
                                         sd.ref_idx, sd.sub_types,
                                         sd.slice_id)
@@ -134,13 +137,45 @@ def derive_mvs_py(sd: SliceData) -> None:
                 P.assign(x4, y4, 4, 4, mv, 0)
                 sd.ref_idx[mby, mbx, :] = 0
                 continue
+            if kind == MB_PBL:
+                # SVC base_mode inter: mv/ref already inferred (G.8.6.1,
+                # svc.motion) — load them into the predictor state so
+                # they serve as neighbors, nothing to derive
+                P.mv_g[y4:y4 + 4, x4:x4 + 4] = sd.mv[mby, mbx]
+                ref44 = np.repeat(np.repeat(
+                    sd.ref_idx[mby, mbx].reshape(2, 2), 2, 0), 2, 1)
+                P.ref_g[y4:y4 + 4, x4:x4 + 4] = ref44
+                P.done[y4:y4 + 4, x4:x4 + 4] = True
+                continue
+
+            def il_pred(by, bx, slot):
+                """motion_prediction_flag_l0: MVP/ref come from the
+                inter-layer predictors (stored by the inference pass)."""
+                if sd.motion_pred_l0 is None or \
+                        not sd.motion_pred_l0[mby, mbx, slot]:
+                    return None
+                ilmv = getattr(sd, "_il_mv", None)
+                ilref = getattr(sd, "_il_ref", None)
+                if ilmv is None:
+                    raise ValueError("motion_prediction_flag without "
+                                     "inter-layer motion state")
+                part = (by >> 1) * 2 + (bx >> 1)
+                return ((int(ilmv[mby, mbx, by, bx, 0]),
+                         int(ilmv[mby, mbx, by, bx, 1])),
+                        int(ilref[mby, mbx, part]))
+
             if kind in (MB_P16X16, MB_P16X8, MB_P8X16):
                 for shape, slot, ox, oy, w4, h4, (iy, ix) in \
                         _partition_geometry(kind):
                     ref = int(sd.ref_idx[mby, mbx, slot if kind != MB_P8X16
                                          else slot])
-                    mvp = P.predict(x4 + ox, y4 + oy, w4, h4, ref,
-                                    mbx, mby, shape)
+                    ilp = il_pred(iy, ix, slot)
+                    if ilp is not None:
+                        mvp, ref = ilp
+                        sd.ref_idx[mby, mbx, slot] = ref
+                    else:
+                        mvp = P.predict(x4 + ox, y4 + oy, w4, h4, ref,
+                                        mbx, mby, shape)
                     mv = (mvp[0] + int(sd.mvd[mby, mbx, iy, ix, 0]),
                           mvp[1] + int(sd.mvd[mby, mbx, iy, ix, 1]))
                     P.assign(x4 + ox, y4 + oy, w4, h4, mv, ref)
@@ -152,8 +187,13 @@ def derive_mvs_py(sd: SliceData) -> None:
                     for (ox, oy_, w4, h4) in _sub_geometry(st):
                         gx = x4 + px + ox
                         gy = y4 + py + oy_
-                        mvp = P.predict(gx, gy, w4, h4, ref, mbx, mby,
-                                        "sub")
+                        ilp = il_pred(py + oy_, px + ox, part)
+                        if ilp is not None:
+                            mvp, ref = ilp
+                            sd.ref_idx[mby, mbx, part] = ref
+                        else:
+                            mvp = P.predict(gx, gy, w4, h4, ref, mbx,
+                                            mby, "sub")
                         mv = (mvp[0] + int(sd.mvd[mby, mbx, py + oy_,
                                                   px + ox, 0]),
                               mvp[1] + int(sd.mvd[mby, mbx, py + oy_,

@@ -34,6 +34,9 @@ MB_P16X8 = 5
 MB_P8X16 = 6
 MB_P8X8 = 7          # includes P_8x8ref0
 MB_IBL = 8           # SVC I_BL (base_mode_flag, inter-layer intra)
+MB_PBL = 9           # SVC inferred inter (base_mode_flag in EP slices,
+                     # G.8.6.1 motion inference; mv/ref filled by
+                     # svc.motion.infer_inter_layer_motion)
 
 
 @dataclass
@@ -68,6 +71,9 @@ class SliceData:
     deblock_idc: np.ndarray = None      # (gh,gw) int8, default 1 (off)
     alpha_off: np.ndarray = None        # (gh,gw) int8 (2*div2)
     beta_off: np.ndarray = None         # (gh,gw) int8
+    # SVC per-MB flags (G.7.3.6)
+    res_pred: np.ndarray = None         # (gh,gw) int8 residual_prediction
+    motion_pred_l0: np.ndarray = None   # (gh,gw,4) int8 per partition
     # transient parse state
     _slice_count: int = 0
     # per-slice explicit weighted-prediction tables (sid -> PredWeightTable
@@ -102,6 +108,8 @@ class SliceData:
             deblock_idc=np.ones((gh, gw), np.int8),
             alpha_off=np.zeros((gh, gw), np.int8),
             beta_off=np.zeros((gh, gw), np.int8),
+            res_pred=np.zeros((gh, gw), np.int8),
+            motion_pred_l0=np.zeros((gh, gw, 4), np.int8),
         )
 
 
@@ -362,11 +370,24 @@ class SliceDecoder:
                 if addr is None or not r.more_rbsp_data():
                     break
                 mx, my = addr % sd.gw, addr // sd.gw
-                mb_type = r.ue()
-                if mb_type < 5:
-                    self._parse_p_mb(r, mx, my, mb_type, qp_state, sid)
+                base_mode = 0
+                if svc_inter_layer:
+                    # G.7.3.6.* EP macroblock layer: base_mode_flag first
+                    if hdr.adaptive_base_mode_flag:
+                        base_mode = r.u1()
+                    else:
+                        base_mode = hdr.default_base_mode_flag
+                if base_mode:
+                    self._parse_pbl_mb(r, hdr, mx, my, qp_state, sid)
                 else:
-                    self._parse_i_mb(r, mx, my, mb_type - 5, qp_state, sid)
+                    mb_type = r.ue()
+                    if mb_type < 5:
+                        self._parse_p_mb(r, mx, my, mb_type, qp_state,
+                                         sid, hdr=hdr if svc_inter_layer
+                                         else None)
+                    else:
+                        self._parse_i_mb(r, mx, my, mb_type - 5,
+                                         qp_state, sid)
                 mark_deblock(mx, my)
             else:
                 base_mode = 0
@@ -405,9 +426,43 @@ class SliceDecoder:
             sd.nnz_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
         self._read_chroma_residual(r, mx, my, cbp_chroma, sid)
 
+    # -- SVC inferred inter MB (G.7.3.6: base_mode_flag=1 in EP) ----------
+    def _parse_pbl_mb(self, r: BitReader, hdr, mx: int, my: int,
+                      qp_state: list, sid: int) -> None:
+        """EP-slice macroblock with base_mode_flag=1: no mb_type/mvd —
+        motion is inferred from the reference layer (G.8.6.1, applied
+        later by the decoder's inference pass); syntax is
+        residual_prediction_flag? + CBP + residual (G.7.3.6.2).  The MB
+        kind may be flipped to MB_IBL by the inference pass when the
+        co-located reference-layer MB is intra."""
+        sd = self.sd
+        sd.slice_id[my, mx] = sid
+        sd.mb_kind[my, mx] = MB_PBL
+        sd.num_ref_idx_active[my, mx] = self._num_ref_idx_active
+        if hdr.adaptive_residual_prediction_flag:
+            sd.res_pred[my, mx] = r.u1()
+        else:
+            sd.res_pred[my, mx] = hdr.default_residual_prediction_flag
+        code = r.ue()
+        if code > 47:
+            raise ValueError("invalid cbp codeNum")
+        cbp = int(CBP_ME_INTER[code])
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        sd.cbp_luma[my, mx] = cbp_luma
+        sd.cbp_chroma[my, mx] = cbp_chroma
+        if cbp_luma or cbp_chroma:
+            delta = r.se()
+            qp_state[0] = (qp_state[0] + delta + 52) % 52
+        sd.qp[my, mx] = qp_state[0]
+        if cbp_luma:
+            self._read_luma_residual(r, mx, my, False, cbp_luma, sid)
+        else:
+            sd.nnz_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        self._read_chroma_residual(r, mx, my, cbp_chroma, sid)
+
     # -- P macroblocks ----------------------------------------------------
     def _parse_p_mb(self, r: BitReader, mx: int, my: int, mb_type: int,
-                    qp_state: list, sid: int) -> None:
+                    qp_state: list, sid: int, hdr=None) -> None:
         """mb_pred/sub_mb_pred syntax (spec 7.3.5.1/7.3.5.2, P slices):
         raw ref_idx + mvd are stored; final MVs come from the MV
         derivation pass (decode/mv.py, spec 8.4.1)."""
@@ -419,17 +474,38 @@ class SliceDecoder:
         sd.num_ref_idx_active[my, mx] = nra
         ref_range = nra - 1
 
-        def read_ref():
+        # G.7.3.6.1/.2: per-partition motion_prediction_flag_l0 precedes
+        # the ref_idx reads (which are absent for flagged partitions)
+        adaptive_mp = hdr is not None and \
+            bool(hdr.adaptive_motion_prediction_flag)
+
+        def read_mp(nparts):
+            if not adaptive_mp:
+                return [0] * nparts
+            return [r.u1() for _ in range(nparts)]
+
+        def read_ref(mp=0):
+            if mp:
+                return 0           # inferred later (refIdxILPred)
             return r.te(ref_range) if ref_range > 0 else 0
 
         if kind == MB_P16X16:
-            ref = read_ref()
+            mp = read_mp(1)
+            sd.motion_pred_l0[my, mx, :] = mp[0]
+            ref = read_ref(mp[0])
             sd.ref_idx[my, mx, :] = ref
             mvd = (r.se(), r.se())
             sd.mvd[my, mx, :, :, 0] = mvd[0]
             sd.mvd[my, mx, :, :, 1] = mvd[1]
         elif kind in (MB_P16X8, MB_P8X16):
-            refs = [read_ref(), read_ref()]
+            mp = read_mp(2)
+            if kind == MB_P16X8:
+                sd.motion_pred_l0[my, mx, 0:2] = mp[0]
+                sd.motion_pred_l0[my, mx, 2:4] = mp[1]
+            else:
+                sd.motion_pred_l0[my, mx, 0::2] = mp[0]
+                sd.motion_pred_l0[my, mx, 1::2] = mp[1]
+            refs = [read_ref(mp[0]), read_ref(mp[1])]
             mvds = [(r.se(), r.se()), (r.se(), r.se())]
             if kind == MB_P16X8:
                 sd.ref_idx[my, mx, 0:2] = refs[0]
@@ -448,10 +524,12 @@ class SliceDecoder:
             if any(s > 3 for s in subs):
                 raise ValueError("invalid P sub_mb_type")
             sd.sub_types[my, mx] = subs
+            mp = read_mp(4)
+            sd.motion_pred_l0[my, mx, :] = mp
             if mb_type == 4:  # P_8x8ref0
                 refs = [0, 0, 0, 0]
             else:
-                refs = [read_ref() for _ in range(4)]
+                refs = [read_ref(mp[p]) for p in range(4)]
             sd.ref_idx[my, mx, :] = refs
             for part in range(4):
                 py, px = (part >> 1) * 2, (part & 1) * 2
@@ -471,6 +549,10 @@ class SliceDecoder:
                     dx, dy = r.se(), r.se()
                     sd.mvd[my, mx, sy:sy + sh4, sx:sx + sw4, 0] = dx
                     sd.mvd[my, mx, sy:sy + sh4, sx:sx + sw4, 1] = dy
+
+        # G.7.3.6.2: residual_prediction_flag for inter MBs in EP slices
+        if hdr is not None and hdr.adaptive_residual_prediction_flag:
+            sd.res_pred[my, mx] = r.u1()
 
         # coded_block_pattern + residual
         code = r.ue()

@@ -51,6 +51,8 @@ class Encoder:
         self.pps: Optional[PPS] = None
         self._sched_cache = {}
         self._ref_planes = None      # deblocked recon (padded) for P frames
+        self._last_motion = None     # (mv44, ref_idx, intra) of the last
+                                     # encoded picture (SVC G.8.6.1 input)
         self._headers = b""
         self._rc = None              # JVT-G012 controller when rc enabled
         self._poc_cnt = 0            # frames since IDR (POC/2 for types 0/1)
@@ -358,6 +360,9 @@ class Encoder:
         if is_idr:
             arrays = unpack(buf, INTRA_FIELDS, gh, gw)
             mb_kind = np.where(arrays["use_i16"] > 0, 1, 0).astype(np.int8)
+            self._last_motion = (np.zeros((gh, gw, 4, 4, 2), np.int32),
+                                 np.zeros((gh, gw, 4), np.int8),
+                                 np.ones((gh, gw), bool))
             payload = self._pack_slices(arrays, qp, mb_kind, ranges,
                                         is_idr=True, is_p=False,
                                         frame_num=pend["frame_num"],
@@ -388,6 +393,9 @@ class Encoder:
             mvd, skip_ok = compute_mvds_and_skip(
                 mb_kind, arrays["mv44"], arrays["ref_idx"],
                 arrays["sub_types"], coded, pend["slice_id"])
+            self._last_motion = (arrays["mv44"].astype(np.int32),
+                                 arrays["ref_idx"].astype(np.int8),
+                                 np.zeros((gh, gw), bool))
             skip_ok &= mb_kind == MB_P16X16
             payload = self._pack_slices(arrays, qp, mb_kind, ranges,
                                         is_idr=False, is_p=True, mvd=mvd,

@@ -36,6 +36,41 @@ from hartallo_tpu.encode.slice_encode import FramePacker
 from hartallo_tpu.svc.upsample import upsample_plane
 
 
+from functools import partial
+
+import jax
+
+
+from hartallo_tpu.ops.wide import (halfpel_planes, mc_chroma_plane,
+                                   mc_grids, mc_luma_plane)
+
+
+@partial(jax.jit, static_argnames=("gw", "gh"))
+def _ilp_predict(refY, refU, refV, mvf, *, gw: int, gh: int):
+    """Inter prediction planes from the layer's own (padded) reference
+    with per-4x4 inferred MVs — the decoder's MC kernels, bit-exact."""
+    hp = halfpel_planes(refY)[None]
+    bx, by, cbx, cby = mc_grids(gw, gh)
+    N = gh * gw * 16
+    slot = jnp.zeros((N,), jnp.int32)
+    wp = jnp.zeros((N, 3), jnp.int32).at[:, 0].set(1)
+    pY = mc_luma_plane(hp, slot, bx, by, mvf[:, 0], mvf[:, 1], wp, gw, gh)
+    pU = mc_chroma_plane(refU[None], slot, cbx, cby, mvf[:, 0],
+                         mvf[:, 1], wp, gw, gh)
+    pV = mc_chroma_plane(refV[None], slot, cbx, cby, mvf[:, 0],
+                         mvf[:, 1], wp, gw, gh)
+    return pY, pU, pV
+
+
+def _edge_repad(plane, pad=PAD):
+    """Re-replicate the pad zone from the (final, deblocked) interior —
+    the decoder's reference ring edge-pads AFTER deblocking
+    (d_gop.decode_gop), and MC windows read the pad, so the encoder's
+    reference planes must match exactly."""
+    inner = np.asarray(plane)[pad:-pad, pad:-pad]
+    return jnp.asarray(np.pad(inner, pad, mode="edge").astype(np.int32))
+
+
 def _prefix_nal(svc: N.NalSvcExt, ref_idc: int) -> bytes:
     w = BitWriter()
     N.write_nal_header(w, ref_idc, N.NAL_PREFIX, svc)
@@ -95,7 +130,9 @@ class SvcEncoder:
                   max_num_ref_frames=1,
                   pic_width_in_mbs_minus1=gw - 1,
                   pic_height_in_map_units_minus1=gh - 1)
-        sps.svc = SpsSvcExt(slice_header_restriction_flag=1)
+        sps.svc = SpsSvcExt(
+            inter_layer_deblocking_filter_control_present_flag=1,
+            slice_header_restriction_flag=1)
         pps = PPS(pic_parameter_set_id=li, seq_parameter_set_id=li,
                   deblocking_filter_control_present_flag=1,
                   pic_init_qp_minus26=max(-26, min(25, enc.cfg.qp - 26)))
@@ -238,7 +275,8 @@ class SvcEncoder:
             recY, recU, recV = enc._deblock_recon(
                 arrays, qp, np.zeros((gh, gw), np.int8),  # treated intra
                 (recY, recU, recV), gw, gh)
-        enc._ref_planes = (recY, recU, recV)
+        enc._ref_planes = (_edge_repad(recY), _edge_repad(recU),
+                           _edge_repad(recV))
         enc.frame_num = (enc.frame_num + 1) % sps.max_frame_num
         enc.frame_idx += 1
 
@@ -257,6 +295,7 @@ class SvcEncoder:
             slice_qp_delta=int(qp[0, 0]) - pps.pic_init_qp,
             disable_deblocking_filter_idc=0 if enc.cfg.deblock else 1,
             ref_layer_dq_id=(li - 1) << 4,
+            disable_inter_layer_deblocking_filter_idc=1,
             adaptive_base_mode_flag=0, default_base_mode_flag=1,
             adaptive_residual_prediction_flag=0,
             default_residual_prediction_flag=0)
@@ -278,6 +317,218 @@ class SvcEncoder:
     # ------------------------------------------------------------------
     def _encode_enh_p(self, enc: Encoder, li: int, frame, width,
                       height) -> EncodeResult:
+        base = self.layers[li - 1]
+        if self.cfg.svc_inter_layer_p and base._last_motion is not None \
+                and enc._ref_planes is not None and enc.sps is not None:
+            bgw = base.sps.pic_width_in_mbs
+            bgh = base.sps.pic_height_in_mbs
+            gw, gh = enc.sps.pic_width_in_mbs, enc.sps.pic_height_in_mbs
+            if gw == bgw * 2 and gh == bgh * 2 or (gw, gh) == (bgw, bgh):
+                return self._encode_enh_p_ilp(enc, li, frame, width,
+                                              height)
+        return self._encode_enh_p_rewrap(enc, li, frame, width, height)
+
+    # ------------------------------------------------------------------
+    def _encode_enh_p_ilp(self, enc: Encoder, li: int, frame, width,
+                          height) -> EncodeResult:
+        """EP picture with base_mode_flag=1 on every macroblock: motion
+        is inferred from the base layer (G.8.6.1, dyadic/same-res RSRC
+        subset), prediction runs on the layer's own reference picture,
+        and only CBP + residual are coded — no mb_type, no mvd.
+
+        Mirrors the reference encoder's design intent
+        (hl_codec_264_rdo.c:1325 base_mode_flag=1 on EP MBs; its
+        implementation crashes on refIdx bookkeeping, so this path also
+        serves as the working oracle source for EP decode tests)."""
+        from hartallo_tpu.core.tables import QP_SCALE_CHROMA
+        from hartallo_tpu.decode.slice_decode import MB_IBL, MB_PBL
+        from hartallo_tpu.encode.intra_encode import _blocks_of_mb, \
+            _BLK_X, _BLK_Y
+        from hartallo_tpu.ops.transform import (
+            chroma_dc_descale, dequant_4x4, forward_dct_4x4,
+            forward_hadamard_quant_dc_chroma, forward_quant_4x4,
+            inverse_transform_4x4)
+        from hartallo_tpu.svc.motion import infer_inter_layer_motion
+
+        base = self.layers[li - 1]
+        sps, pps = enc.sps, enc.pps
+        gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+        W, H = gw * 16, gh * 16
+        ratio = gw // base.sps.pic_width_in_mbs
+
+        bmv, bref, bintra = base._last_motion
+        mv_il, ref_il, ibl = infer_inter_layer_motion(
+            bmv, bref.astype(np.int32), bintra, gw, gh, ratio)
+
+        # ---- prediction: inter MC on own ref; I_BL on base-intra MBs --
+        refY, refU, refV = enc._ref_planes
+        mvf = jnp.asarray(mv_il.reshape(gh * gw * 16, 2))
+        pY, pU, pV = _ilp_predict(jnp.asarray(refY), jnp.asarray(refU),
+                                  jnp.asarray(refV), mvf, gw=gw, gh=gh)
+        if ibl.any():
+            bY, bU, bV = base._ref_planes       # current base recon
+            bH = bY.shape[0] - 2 * PAD
+            bW = bY.shape[1] - 2 * PAD
+            up_y = upsample_plane(
+                jnp.asarray(bY)[PAD:PAD + bH, PAD:PAD + bW], H, W)
+            up_u = upsample_plane(
+                jnp.asarray(bU)[PAD:PAD + bH // 2, PAD:PAD + bW // 2],
+                H // 2, W // 2, chroma=True)
+            up_v = upsample_plane(
+                jnp.asarray(bV)[PAD:PAD + bH // 2, PAD:PAD + bW // 2],
+                H // 2, W // 2, chroma=True)
+            m16 = jnp.asarray(np.repeat(np.repeat(ibl, 16, 0), 16, 1))
+            m8 = jnp.asarray(np.repeat(np.repeat(ibl, 8, 0), 8, 1))
+            pY = jnp.where(m16, up_y, pY)
+            pU = jnp.where(m8, up_u, pU)
+            pV = jnp.where(m8, up_v, pV)
+
+        # ---- residual transform/quant (intra rounding on I_BL MBs) ----
+        buf = np.frombuffer(bytes(frame), np.uint8) if not \
+            isinstance(frame, np.ndarray) else np.asarray(frame).ravel()
+        ysz = width * height
+        y = buf[:ysz].reshape(height, width).astype(np.int32)
+        u = buf[ysz:ysz + ysz // 4].reshape(height // 2,
+                                            width // 2).astype(np.int32)
+        v = buf[ysz + ysz // 2 - ysz // 4:].reshape(
+            height // 2, width // 2).astype(np.int32)
+
+        qp_val = enc.cfg.qp
+        qp = np.full((gh, gw), qp_val, np.int32)
+        qpc = QP_SCALE_CHROMA[np.clip(qp + pps.chroma_qp_index_offset,
+                                      0, 51)]
+        intra_mb = jnp.asarray(ibl)
+
+        src_mb = jnp.asarray(y).reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
+        pred_mb = pY.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
+        res = src_mb - pred_mb
+        blocks = _blocks_of_mb(res)
+        qpj = jnp.asarray(qp)
+        wq = forward_quant_4x4(forward_dct_4x4(blocks), qpj[..., None],
+                               intra_mb[..., None])
+        d = dequant_4x4(wq, jnp.broadcast_to(qpj[..., None], (gh, gw, 16)))
+        rr = inverse_transform_4x4(d)
+        rec = jnp.zeros((gh, gw, 16, 16), jnp.int32)
+        for b in range(16):
+            rec = rec.at[:, :, _BLK_Y[b]:_BLK_Y[b] + 4,
+                         _BLK_X[b]:_BLK_X[b] + 4].set(rr[:, :, b])
+        rec_y = jnp.clip(pred_mb + rec, 0, 255)
+
+        src_c = jnp.stack(
+            [jnp.asarray(u).reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
+             jnp.asarray(v).reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)],
+            axis=2)
+        pred_c = jnp.stack(
+            [pU.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
+             pV.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)], axis=2)
+        resc = src_c - pred_c
+        cblocks = jnp.stack(
+            [resc[..., (b >> 1) * 4:(b >> 1) * 4 + 4,
+                  (b & 1) * 4:(b & 1) * 4 + 4] for b in range(4)], axis=3)
+        qpcj = jnp.asarray(qpc)
+        wc = forward_dct_4x4(cblocks)
+        dc2 = jnp.stack(
+            [jnp.stack([wc[..., 0, 0, 0], wc[..., 1, 0, 0]], -1),
+             jnp.stack([wc[..., 2, 0, 0], wc[..., 3, 0, 0]], -1)], -2)
+        dcq = forward_hadamard_quant_dc_chroma(dc2, qpcj[..., None],
+                                               intra_mb[..., None])
+        acq = forward_quant_4x4(wc, qpcj[..., None, None],
+                                intra_mb[..., None, None], skip_dc=True)
+        dcd = chroma_dc_descale(dcq, qpcj[..., None])
+        dd = dequant_4x4(acq, jnp.broadcast_to(qpcj[..., None, None],
+                                               (gh, gw, 2, 4)))
+        blk_r = jnp.arange(4) // 2
+        blk_c = jnp.arange(4) % 2
+        dd = dd.at[..., 0, 0].set(dcd[..., blk_r, blk_c])
+        rrc = inverse_transform_4x4(dd)
+        recc = jnp.zeros((gh, gw, 2, 8, 8), jnp.int32)
+        for b in range(4):
+            recc = recc.at[..., (b >> 1) * 4:(b >> 1) * 4 + 4,
+                           (b & 1) * 4:(b & 1) * 4 + 4] \
+                .set(rrc[..., b, :, :])
+        rec_c = jnp.clip(pred_c + recc, 0, 255)
+
+        arrays = {
+            "use_i16": np.zeros((gh, gw), np.int32),
+            "luma_ac": np.asarray(wq),
+            "luma_dc": np.zeros((gh, gw, 4, 4), np.int32),
+            "chroma_dc": np.asarray(dcq),
+            "chroma_ac": np.asarray(acq),
+            "i16_mode": np.zeros((gh, gw), np.int32),
+            "i4_modes": np.zeros((gh, gw, 16), np.int32),
+            "chroma_mode": np.zeros((gh, gw), np.int32),
+            "mv44": mv_il,
+        }
+        mb_kind = np.where(ibl, MB_IBL, MB_PBL).astype(np.int8)
+
+        two_t = enc.cfg.temporal_layers >= 2
+        tid = int(enc._poc_cnt % 2) if two_t else 0
+        enc._poc_cnt += 1
+        payload = self._pack_ep_frame(enc, li, arrays, qp, mb_kind,
+                                      tid=tid)
+
+        from hartallo_tpu.encode.encoder import _planes_from_mbs
+        recY = np.pad(_planes_from_mbs(np.asarray(rec_y)), PAD)
+        recU = np.pad(_planes_from_mbs(np.asarray(rec_c[:, :, 0])), PAD)
+        recV = np.pad(_planes_from_mbs(np.asarray(rec_c[:, :, 1])), PAD)
+        recY, recU, recV = (jnp.asarray(recY.astype(np.int32)),
+                            jnp.asarray(recU.astype(np.int32)),
+                            jnp.asarray(recV.astype(np.int32)))
+        if enc.cfg.deblock:
+            # I_BL counts as intra, inferred MBs as inter (mv-based bS)
+            kind_for_bs = np.where(ibl, 0, MB_PBL).astype(np.int8)
+            recY, recU, recV = enc._deblock_recon(
+                arrays, qp, kind_for_bs, (recY, recU, recV), gw, gh)
+        if tid == 0:
+            # T1 pictures are non-reference (droppable): only T0 recon
+            # enters the reference/motion state
+            enc._ref_planes = (_edge_repad(recY), _edge_repad(recU),
+                               _edge_repad(recV))
+            enc._last_motion = (mv_il, ref_il.astype(np.int8), ibl)
+            enc.frame_num = (enc.frame_num + 1) % sps.max_frame_num
+        enc.gop_left -= 1
+        enc.frame_idx += 1
+        return EncodeResult(data=_annexb(payload), headers=b"",
+                            keyframe=False, temporal_id=tid)
+
+    # ------------------------------------------------------------------
+    def _pack_ep_frame(self, enc: Encoder, li: int, arrays, qp,
+                       mb_kind, tid: int = 0) -> bytes:
+        """EP slice: every MB coded with inferred base_mode (skip-run 0 +
+        the I_BL-shaped CBP/residual syntax, G.7.3.6.2)."""
+        sps, pps = enc.sps, enc.pps
+        gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+        hdr = SliceHeader(
+            first_mb_in_slice=0, slice_type=5,
+            pic_parameter_set_id=pps.pic_parameter_set_id,
+            frame_num=enc.frame_num,
+            slice_qp_delta=int(qp[0, 0]) - pps.pic_init_qp,
+            disable_deblocking_filter_idc=0 if enc.cfg.deblock else 1,
+            ref_layer_dq_id=(li - 1) << 4,
+            disable_inter_layer_deblocking_filter_idc=1,
+            adaptive_base_mode_flag=0, default_base_mode_flag=1,
+            adaptive_residual_prediction_flag=0,
+            default_residual_prediction_flag=0)
+        ref_idc = 0 if tid else 2
+        svc = N.NalSvcExt(idr_flag=0, no_inter_layer_pred_flag=0,
+                          dependency_id=li, quality_id=0, temporal_id=tid)
+        w = BitWriter()
+        N.write_nal_header(w, ref_idc, N.NAL_SLICE_EXT, svc)
+        write_slice_header(w, hdr, sps, pps, nal_ref_idc=ref_idc,
+                           is_idr=False, svc_ext=True,
+                           no_inter_layer_pred=False)
+        packer = FramePacker(gw, gh, arrays, qp, mb_kind)
+        qp_state = [hdr.slice_qp(pps)]
+        for my in range(gh):
+            for mx in range(gw):
+                w.ue(0)                     # mb_skip_run
+                packer.write_ibl_mb(w, mx, my, qp_state, 0)
+        w.write_rbsp_trailing_bits()
+        return insert_emulation_prevention(w.getvalue())
+
+    # ------------------------------------------------------------------
+    def _encode_enh_p_rewrap(self, enc: Encoder, li: int, frame, width,
+                             height) -> EncodeResult:
         """P frame within the enhancement layer, wrapped as NAL 20 with
         no_inter_layer_pred = 1.  EVERY slice NAL of the frame is
         rewrapped (multi-slice and FMO layouts produce several)."""

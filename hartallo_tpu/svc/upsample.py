@@ -27,17 +27,31 @@ PHASE_CHROMA = np.array([[32 - 2 * p, 2 * p] for p in range(16)],
                         dtype=np.int32)
 
 
-def ref_positions(out_size: int, ref_size: int):
-    """1/16-pel reference positions for each output sample (center-aligned
-    mapping: refPos16(x) = ((2*x + 1) * ref_size * 16) / (2*out_size) - 8).
+def ref_positions(out_size: int, ref_size: int, chroma: bool = False,
+                  phase: int = -1, ref_phase: int = -1):
+    """1/16-pel reference positions per output sample — the exact G.6.3
+    derivation (G-45..G-59) for progressive frames with zero scaled-ref
+    offsets and level_idc <= 30 (shift 16).  ``phase``/``ref_phase`` are
+    chroma_phase_*_plus1 - 1 (both default -1 when the flags are absent);
+    for luma the (2 + 0) variant with delta 8 applies.
 
-    Returns (base_idx, phase): sample index of the filter tap x=1 (the
+    Returns (base_idx, phase16): sample index of the filter tap x=1 (the
     "left" integer sample) and the 0..15 phase."""
+    shift = 16
+    scale = ((ref_size << shift) + (out_size >> 1)) // out_size   # G-45
+    if chroma:
+        add = (((ref_size * (2 + phase)) << (shift - 2)) +
+               (out_size >> 1)) // out_size + (1 << (shift - 5))  # G-48
+        delta = 4 * (2 + ref_phase)                               # G-49
+    else:
+        add = (((ref_size * 2) << (shift - 2)) +
+               (out_size >> 1)) // out_size + (1 << (shift - 5))
+        delta = 8
     x = np.arange(out_size, dtype=np.int64)
-    pos16 = ((2 * x + 1) * ref_size * 16) // (2 * out_size) - 8
+    pos16 = ((x * scale + add) >> (shift - 4)) - delta            # G-59
     base = pos16 >> 4
-    phase = (pos16 & 15).astype(np.int64)
-    return base.astype(np.int64), phase
+    phase16 = (pos16 & 15).astype(np.int64)
+    return base.astype(np.int64), phase16
 
 
 def upsample_plane_np(base: np.ndarray, out_h: int, out_w: int,
@@ -47,8 +61,8 @@ def upsample_plane_np(base: np.ndarray, out_h: int, out_w: int,
     taps = filt.shape[1]
     off = 1 if taps == 4 else 0          # tap index of the base sample
     h, w = base.shape
-    bx, px = ref_positions(out_w, w)
-    by, py = ref_positions(out_h, h)
+    bx, px = ref_positions(out_w, w, chroma)
+    by, py = ref_positions(out_h, h, chroma)
     # vertical first: (h_out, w) intermediate, unrounded
     tmp = np.zeros((out_h, w), dtype=np.int64)
     for yo in range(out_h):
@@ -78,8 +92,8 @@ def upsample_plane(base: jnp.ndarray, out_h: int, out_w: int,
     taps = int(filt.shape[1])
     off = 1 if taps == 4 else 0
     h, w = base.shape
-    bx, px = ref_positions(out_w, w)
-    by, py = ref_positions(out_h, h)
+    bx, px = ref_positions(out_w, w, chroma)
+    by, py = ref_positions(out_h, h, chroma)
     bxj = jnp.asarray(bx)
     byj = jnp.asarray(by)
     pxj = jnp.asarray(px)
