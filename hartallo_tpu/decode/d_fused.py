@@ -32,7 +32,7 @@ DEC_FIELDS = [
     ("qp", ()), ("kind", ()), ("i16_mode", ()), ("i4_modes", (16,)),
     ("chroma_mode", ()), ("mv", (4, 4, 2)), ("ref_idx", (4,)),
     ("nnz", (4, 4)), ("alpha_off", ()), ("beta_off", ()),
-    ("avail_l", ()), ("avail_t", ()),
+    ("avail_l", ()), ("avail_t", ()), ("avail_tr", ()),
     ("fmb_v", ()), ("fmb_h", ()), ("fint", ()),
     # explicit weighted prediction (8.4.2.3.2): per 8x8 partition
     # [w, o, logWD] for luma and per plane for chroma; identity when the
@@ -44,7 +44,7 @@ _DEC_WORDS = sum(int(np.prod(s, dtype=int)) if s else 1
 
 
 def pack_slice_arrays(sd, al, at, fmb_v, fmb_h, fint,
-                      wp_l=None, wp_c=None) -> np.ndarray:
+                      wp_l=None, wp_c=None, atr=None) -> np.ndarray:
     """Host: SliceData + availability/filter masks -> (gh*gw, W) int16."""
     gh, gw = sd.gh, sd.gw
     n = gh * gw
@@ -63,6 +63,7 @@ def pack_slice_arrays(sd, al, at, fmb_v, fmb_h, fint,
         "mv": sd.mv, "ref_idx": sd.ref_idx, "nnz": nnz_mb,
         "alpha_off": sd.alpha_off, "beta_off": sd.beta_off,
         "avail_l": al, "avail_t": at,
+        "avail_tr": (np.ones((gh, gw), bool) if atr is None else atr),
         "fmb_v": fmb_v, "fmb_h": fmb_h, "fint": fint,
         "wp_l": wp_l, "wp_c": wp_c,
     }
@@ -126,7 +127,7 @@ def decode_frame_fused(packed, ref_y, ref_u, ref_v, *, gw: int, gh: int,
         (jnp.pad(y0, PAD), jnp.pad(u0, PAD), jnp.pad(v0, PAD)),
         res_y, res_c, kind_intra, f["i16_mode"], f["i4_modes"],
         f["chroma_mode"], f["avail_l"] != 0, f["avail_t"] != 0,
-        gw=gw, gh=gh)
+        f["avail_tr"] != 0, gw=gw, gh=gh)
 
     if deblock:
         mb_is_intra = (kind <= 2) | (kind == 8)

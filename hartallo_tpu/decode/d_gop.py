@@ -165,13 +165,14 @@ def decode_gop(packed, write_slot, has_intra, ringY, ringU, ringV,
           _field(packed, "i4_modes", gw, gh),
           _field(packed, "chroma_mode", gw, gh),
           _field(packed, "avail_l", gw, gh) != 0,
-          _field(packed, "avail_t", gw, gh) != 0)
+          _field(packed, "avail_t", gw, gh) != 0,
+          _field(packed, "avail_tr", gw, gh) != 0)
 
     def step(carry, x):
         rY, rU, rV = carry
         (ry, rc, wslot, hintra, mvf, slot, wpl, wpc, knd, qpf, qplf,
          qptf, qpcf, qpclf, qpctf, bsv, bsh, offa, offb, mY, mC,
-         i16m, i4m, cmode, al, at) = x
+         i16m, i4m, cmode, al, at, atr) = x
 
         pY = mc_luma_plane(rY, slot, bx, by, mvf[:, 0], mvf[:, 1],
                            wpl, gw, gh)
@@ -190,7 +191,7 @@ def decode_gop(packed, write_slot, has_intra, ringY, ringU, ringV,
             rc_mb = rc.reshape(2, gh, 8, gw, 8).transpose(1, 3, 0, 2, 4)
             return intra_reconstruct(
                 (y, u, v), ry_mb, rc_mb, kint, i16m, i4m, cmode, al, at,
-                gw=gw, gh=gh)
+                atr, gw=gw, gh=gh)
 
         planes = jax.lax.cond(hintra, intra_branch, lambda o: o,
                               (y0, u0, v0))

@@ -29,6 +29,7 @@ from hartallo_tpu.bitio import BitReader, strip_emulation_prevention
 from hartallo_tpu.decode import nal as N
 from hartallo_tpu.decode.dpb import DPB, Frame
 from hartallo_tpu.decode.intra_recon import (PAD, availability_masks,
+                                             availability_tr,
                                              compute_residuals,
                                              intra_reconstruct)
 from hartallo_tpu.decode.params import (PPS, SPS, parse_subset_sps)
@@ -90,7 +91,7 @@ class _BatchOut:
 
 class BatchSlot:
     """Lazy handle to one frame of a (possibly not yet dispatched) batch.
-    Presents the PendingFrame interface: .gw/.gh/.resolve()."""
+    Callers duck-type on .gw/.gh/.resolve()."""
 
     def __init__(self, decoder, layer, job):
         self._decoder = decoder
@@ -104,19 +105,6 @@ class BatchSlot:
             self._decoder._flush(self._layer)
         batch, i = self._job.out
         return split_gop_out(batch.fetch()[i], self.gw, self.gh)
-
-
-class PendingFrame:
-    """Deferred device->host fetch of a single decoded frame (general
-    path)."""
-
-    def __init__(self, out_u8, gw: int, gh: int):
-        self.out_u8 = out_u8
-        self.gw, self.gh = gw, gh
-
-    def resolve(self) -> np.ndarray:
-        from hartallo_tpu.decode.d_gop import split_gop_out
-        return split_gop_out(np.asarray(self.out_u8), self.gw, self.gh)
 
 
 def _materialize(result: DecodeResult) -> DecodeResult:
@@ -182,6 +170,8 @@ class Decoder:
         hdr = N.parse_nal_header(r)
         if hdr.type == N.NAL_SPS:
             sps = SPS.parse(r)
+            if sps.seq_parameter_set_id in self.sps_map:
+                self._fmo_cache.clear()
             self.sps_map[sps.seq_parameter_set_id] = sps
             return DecodeResult()
         if hdr.type == N.NAL_SUBSET_SPS:
@@ -190,6 +180,8 @@ class Decoder:
             return DecodeResult()
         if hdr.type == N.NAL_PPS:
             pps = PPS.parse(r)
+            if pps.pic_parameter_set_id in self.pps_map:
+                self._fmo_cache.clear()
             self.pps_map[pps.pic_parameter_set_id] = pps
             return DecodeResult()
         if hdr.type == N.NAL_PREFIX:
@@ -239,7 +231,19 @@ class Decoder:
         gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
 
         layer = self._layer(dqid)
-        if layer.cur is None or sh.first_mb_in_slice == 0:
+        # picture-boundary detection (7.4.1.2.4 subset): new picture on
+        # frame_num change, or a slice whose first MB was already decoded
+        # (FMO slice groups need not contain MB 0, so first_mb == 0 alone
+        # is not a boundary)
+        new_pic = layer.cur is None
+        if not new_pic and layer.hdr is not None:
+            if sh.frame_num != layer.hdr.frame_num:
+                new_pic = True
+            else:
+                a = sh.first_mb_in_slice
+                if layer.cur.slice_id[a // gw, a % gw] >= 0:
+                    new_pic = True
+        if new_pic:
             layer.cur = SliceData.create(gw, gh)
             layer.hdr = sh
             layer.nal = nh
@@ -389,6 +393,9 @@ class Decoder:
         al, at = availability_masks(sd.slice_id,
                                     bool(pps.constrained_intra_pred_flag),
                                     mb_is_inter)
+        atr = availability_tr(sd.slice_id,
+                              bool(pps.constrained_intra_pred_flag),
+                              mb_is_inter)
         idc = sd.deblock_idc.astype(np.int32)
         filter_internal = idc != 1
         same_l = np.zeros((gh, gw), bool)
@@ -403,7 +410,8 @@ class Decoder:
         fmb_h = filter_internal & has_t & ((idc != 2) | same_t)
 
         packed = pack_slice_arrays(sd, al, at, fmb_v, fmb_h,
-                                   filter_internal, wp_l=wp_l, wp_c=wp_c)
+                                   filter_internal, wp_l=wp_l, wp_c=wp_c,
+                                   atr=atr)
 
         layer.dpb.max_refs = sps.max_num_ref_frames
         mmco5 = any(m.op == 5 for m in (sh.mmcos or []))
@@ -604,6 +612,9 @@ class Decoder:
         al, at = availability_masks(sd.slice_id,
                                     bool(pps.constrained_intra_pred_flag),
                                     mb_is_inter)
+        atr = availability_tr(sd.slice_id,
+                              bool(pps.constrained_intra_pred_flag),
+                              mb_is_inter)
 
         kind_dev = jnp.asarray(np.where(sd.mb_kind == MB_I4X4, 0,
                                         np.where(sd.mb_kind == MB_I16, 1,
@@ -614,7 +625,8 @@ class Decoder:
             jnp.asarray(sd.i16_mode, jnp.int32),
             jnp.asarray(sd.i4_modes, jnp.int32),
             jnp.asarray(sd.chroma_mode, jnp.int32),
-            jnp.asarray(al), jnp.asarray(at), gw=gw, gh=gh)
+            jnp.asarray(al), jnp.asarray(at), jnp.asarray(atr),
+            gw=gw, gh=gh)
 
         if (sd.deblock_idc != 1).any():
             pY, pU, pV = self._deblock(sps, pps, sd, (pY, pU, pV))

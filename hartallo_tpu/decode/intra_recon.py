@@ -145,7 +145,7 @@ def _neighbor_tile9x9(cur, r1, r2, r3):
 
 @partial(jax.jit, static_argnames=("gw", "gh"))
 def intra_reconstruct(planes, res_y, res_c, mb_kind, i16_mode, i4_modes,
-                      chroma_mode, avail_left, avail_top,
+                      chroma_mode, avail_left, avail_top, avail_tr=None,
                       *, gw: int, gh: int):
     """Run the intra wavefront; returns updated padded planes.
 
@@ -168,16 +168,20 @@ def intra_reconstruct(planes, res_y, res_c, mb_kind, i16_mode, i4_modes,
     tv = sk(plane_to_tiles(
         jax.lax.dynamic_slice(padV, (PAD, PAD), (H // 2, W // 2)), 8))
 
+    if avail_tr is None:
+        avail_tr = jnp.ones((gh, gw), bool)
     xs = (ty, tu, tv, sk(res_y), sk(res_c),
           jnp.where(valid, sk(mb_kind), -1),
           sk(i16_mode), sk(i4_modes), sk(chroma_mode),
           jnp.where(valid, sk(avail_left), False),
           jnp.where(valid, sk(avail_top), False),
+          jnp.where(valid, sk(avail_tr), False),
           jnp.where(valid, jnp.asarray(geo["mx_of"]), -1))
 
     def step(carry, x):
         r1y, r2y, r3y, r1u, r2u, r3u, r1v, r2v, r3v = carry
-        cy, cu, cv, resy, resc, kind, i16m, i4m, cm, al, at, mxs = x
+        (cy, cu, cv, resy, resc, kind, i16m, i4m, cm, al, at, atr,
+         mxs) = x
 
         is_i4 = kind == 0
         is_i16 = kind == 1
@@ -194,11 +198,12 @@ def intra_reconstruct(planes, res_y, res_c, mb_kind, i16_mode, i4_modes,
             top = t4[:, y0 - 1, x0:x0 + 8]               # (K,8)
             left = t4[:, y0:y0 + 4, x0 - 1]              # (K,4)
             tl = t4[:, y0 - 1, x0 - 1]
-            # top-right substitution
+            # top-right substitution (frame edge OR unavailable
+            # above-right MB, e.g. across an FMO slice-group boundary)
             if blk in _TR_NEVER:
                 sub = jnp.ones_like(at_edge)
             elif blk == _TR_EDGE_BLK:
-                sub = at_edge
+                sub = at_edge | ~atr
             else:
                 sub = jnp.zeros_like(at_edge)
             t3 = top[:, 3:4]
@@ -287,3 +292,31 @@ def availability_masks(slice_id: np.ndarray, constrained: bool,
         same_l &= ~inter_l
         same_t &= ~inter_t
     return same_l, same_t
+
+
+def availability_tl(slice_id: np.ndarray, constrained: bool,
+                    mb_is_inter: np.ndarray) -> np.ndarray:
+    """Top-left MB availability (gh,gw) — intra modes that read the
+    corner sample (I16/chroma plane; I4x4 DDR/VR/HD on block 0) need it
+    (6.4.9)."""
+    gh, gw = slice_id.shape
+    tl = np.zeros((gh, gw), bool)
+    tl[1:, 1:] = (slice_id[:-1, :-1] == slice_id[1:, 1:]) & \
+        (slice_id[1:, 1:] >= 0)
+    if constrained:
+        tl[1:, 1:] &= ~mb_is_inter[:-1, :-1]
+    return tl
+
+
+def availability_tr(slice_id: np.ndarray, constrained: bool,
+                    mb_is_inter: np.ndarray) -> np.ndarray:
+    """Above-right MB availability (gh,gw) — intra 4x4 blk 5 reads the
+    above-right macroblock's bottom row, which is unavailable across a
+    slice boundary (6.4.9), e.g. at FMO slice-group edges."""
+    gh, gw = slice_id.shape
+    tr = np.zeros((gh, gw), bool)
+    tr[1:, :-1] = (slice_id[:-1, 1:] == slice_id[1:, :-1]) & \
+        (slice_id[1:, :-1] >= 0)
+    if constrained:
+        tr[1:, :-1] &= ~mb_is_inter[:-1, 1:]
+    return tr

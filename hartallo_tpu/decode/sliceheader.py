@@ -369,6 +369,13 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS, *,
         if h.disable_deblocking_filter_idc != 1:
             w.se(h.slice_alpha_c0_offset_div2)
             w.se(h.slice_beta_offset_div2)
+    if pps.num_slice_groups_minus1 > 0 and \
+            pps.slice_group_map_type in (3, 4, 5):
+        pic_size_in_map_units = (sps.pic_width_in_mbs_minus1 + 1) * \
+            (sps.pic_height_in_map_units_minus1 + 1)
+        rate = pps.slice_group_change_rate_minus1 + 1
+        bits = math.ceil(math.log2(-(-pic_size_in_map_units // rate) + 1))
+        w.u(h.slice_group_change_cycle, bits)
     if svc_ext:
         svc_sps = sps.svc
         if not no_inter_layer_pred:

@@ -129,7 +129,8 @@ def pack_src(frame: np.ndarray, width: int, height: int,
 
 
 @partial(jax.jit, static_argnames=("gw", "gh", "chroma_qp_off", "deblock"))
-def i_frame_fused(src_u8, qp, lam, avail_l, avail_t, fmb_v, fmb_h,
+def i_frame_fused(src_u8, qp, lam, avail_l, avail_t, avail_tr, avail_tl,
+                  fmb_v, fmb_h,
                   *, gw: int, gh: int, chroma_qp_off: int, deblock: bool):
     """IDR frame: intra wavefront encode + in-loop deblock + packed output.
 
@@ -138,7 +139,7 @@ def i_frame_fused(src_u8, qp, lam, avail_l, avail_t, fmb_v, fmb_h,
     srcY, srcU, srcV = _split_src(src_u8, gw, gh)
     recY, recU, recV, arrays = intra_encode_frame(
         srcY, srcU, srcV, qp, chroma_qp_off, avail_l, avail_t, lam,
-        gw=gw, gh=gh)
+        avail_tr, avail_tl, gw=gw, gh=gh)
     if deblock:
         mv44 = jnp.zeros((gh, gw, 4, 4, 2), jnp.int32)
         ref44 = jnp.zeros((gh, gw, 4, 4), jnp.int32)

@@ -102,12 +102,19 @@ class Encoder:
                 pps.top_left = [xs[g] for g in range(groups - 1)]
                 pps.bottom_right = [(gh - 1) * gw + xs[g + 1] - 1
                                     for g in range(groups - 1)]
+            elif t in (3, 4, 5):
+                # changing groups (8.2.2.4-.6): exactly 2 groups, a
+                # change rate, and a per-picture slice_group_change_cycle
+                groups = 2
+                pps.num_slice_groups_minus1 = 1
+                pps.slice_group_change_direction_flag = 0
+                pps.slice_group_change_rate_minus1 = gw - 1
             elif t == 6:
                 # explicit checkerboard-ish map
                 pps.slice_group_id = [
                     ((i % gw) + (i // gw)) % groups for i in range(gw * gh)]
             elif t != 1:
-                raise ValueError("FMO emit supports map types 0/1/2/6")
+                raise ValueError("FMO emit supports map types 0/1/2/3/4/5/6")
         self.sps, self.pps = sps, pps
         w = BitWriter()
         N.write_nal_header(w, 3, N.NAL_SPS)
@@ -176,26 +183,50 @@ class Encoder:
         return fmb_v, fmb_h
 
     # ------------------------------------------------------------------
+    def _fmo_change_cycle(self) -> int:
+        """Per-picture slice_group_change_cycle for FMO map types 3..5
+        (7.4.3): mid-range, so both groups stay non-empty and the grown
+        region is exercised.  0 for other map types."""
+        pps = self.pps
+        if pps is None or pps.num_slice_groups_minus1 == 0 or \
+                pps.slice_group_map_type not in (3, 4, 5):
+            return 0
+        sps = self.sps
+        n = sps.pic_width_in_mbs * sps.pic_height_in_mbs
+        rate = pps.slice_group_change_rate_minus1 + 1
+        return max(1, (-(-n // rate)) // 2)
+
+    # ------------------------------------------------------------------
     def _slice_layout(self, gw: int, gh: int):
         """(ranges, slice_id, avail_l, avail_t) for the frame's slices."""
         from hartallo_tpu.decode.intra_recon import availability_masks
         if self.cfg.num_slice_groups > 1:
             # FMO: one slice per group, MBs visited in NextMbAddress order
             from hartallo_tpu.decode.fmo import mb_to_slice_group_map
-            sg = mb_to_slice_group_map(self.sps, self.pps,
-                                       slice_group_change_cycle=0)
+            sg = mb_to_slice_group_map(
+                self.sps, self.pps,
+                slice_group_change_cycle=self._fmo_change_cycle())
             slice_id = sg.reshape(gh, gw).astype(np.int32)
             ranges = [np.nonzero(sg == g)[0].astype(np.int32)
                       for g in range(self.pps.num_slice_groups_minus1 + 1)]
             ranges = [o for o in ranges if len(o)]
+            # emit slices in increasing first-MB order (no ASO): with
+            # changing map types (3..5) group 0 may start mid-frame
+            ranges.sort(key=lambda o: int(o[0]))
         else:
             ranges = self._slice_ranges(gh)
             slice_id = np.zeros((gh, gw), np.int32)
             for sid, (r0, r1) in enumerate(ranges):
                 slice_id[r0:r1, :] = sid
+        from hartallo_tpu.decode.intra_recon import (availability_tl,
+                                                     availability_tr)
         avail_l, avail_t = availability_masks(
             slice_id, False, np.zeros((gh, gw), bool))
-        return ranges, slice_id, avail_l, avail_t
+        avail_tr = availability_tr(slice_id, False,
+                                   np.zeros((gh, gw), bool))
+        avail_tl = availability_tl(slice_id, False,
+                                   np.zeros((gh, gw), bool))
+        return ranges, slice_id, avail_l, avail_t, avail_tr, avail_tl
 
     # ------------------------------------------------------------------
     def _encode_p_chunk_async(self, chunk, width: int, height: int):
@@ -210,7 +241,7 @@ class Encoder:
         qp_val = self.cfg.qp
         qp = np.full((gh, gw), qp_val, np.int32)
         lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp_val - 12) / 3.0)))
-        ranges, slice_id, _, _ = self._slice_layout(gw, gh)
+        ranges, slice_id, _, _, _, _ = self._slice_layout(gw, gh)
 
         fmb_v, fmb_h = self._deblock_masks(slice_id)
         two_t = self.cfg.temporal_layers >= 2
@@ -298,13 +329,15 @@ class Encoder:
 
         qp = np.full((gh, gw), qp_val, np.int32)
         lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp_val - 12) / 3.0)))
-        ranges, slice_id, avail_l, avail_t = self._slice_layout(gw, gh)
+        ranges, slice_id, avail_l, avail_t, avail_tr, avail_tl = \
+            self._slice_layout(gw, gh)
 
         fmb_v, fmb_h = self._deblock_masks(slice_id)
         if is_idr:
             packed, mad, recY, recU, recV = i_frame_fused(
                 src_u8, jnp.asarray(qp), jnp.float32(lam),
                 jnp.asarray(avail_l), jnp.asarray(avail_t),
+                jnp.asarray(avail_tr), jnp.asarray(avail_tl),
                 jnp.asarray(fmb_v), jnp.asarray(fmb_h),
                 gw=gw, gh=gh, chroma_qp_off=pps.chroma_qp_index_offset,
                 deblock=bool(self.cfg.deblock))
@@ -458,7 +491,8 @@ class Encoder:
             idr_pic_id=idr_pic_id if is_idr else 0,
             pic_order_cnt_lsb=poc_lsb if sps.pic_order_cnt_type == 0 else 0,
             slice_qp_delta=int(qp[fy, fx]) - pps.pic_init_qp,
-            disable_deblocking_filter_idc=self._deblock_idc())
+            disable_deblocking_filter_idc=self._deblock_idc(),
+            slice_group_change_cycle=self._fmo_change_cycle())
         w = BitWriter()
         ntype = N.NAL_SLICE_IDR if is_idr else N.NAL_SLICE
         if ref_idc is None:

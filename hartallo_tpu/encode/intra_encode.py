@@ -46,7 +46,8 @@ def _blocks_of_mb(mb16: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("gw", "gh"))
 def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
-                       avail_left, avail_top, lam,
+                       avail_left, avail_top, lam, avail_tr=None,
+                       avail_tl=None,
                        *, gw: int, gh: int):
     """Encode every MB of a frame as intra (I frame path).
 
@@ -74,6 +75,10 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
     xs = (sy, su, sv, sk(qp), sk(qpc),
           jnp.where(valid, sk(avail_left), False),
           jnp.where(valid, sk(avail_top), False),
+          jnp.where(valid, sk(jnp.ones((gh, gw), bool) if avail_tr is None
+                              else avail_tr), False),
+          jnp.where(valid, sk(jnp.ones((gh, gw), bool) if avail_tl is None
+                              else avail_tl), False),
           jnp.where(valid, jnp.asarray(geo["mx_of"]), -1),
           valid)
 
@@ -81,7 +86,8 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
 
     def step(carry, x):
         r1y, r2y, r3y, r1u, r2u, r3u, r1v, r2v, r3v = carry
-        src_tile, csrc_u, csrc_v, qp_mb, qpc_mb, al, at, mxs, vld = x
+        (src_tile, csrc_u, csrc_v, qp_mb, qpc_mb, al, at, atr, atl,
+         mxs, vld) = x
         K = src_tile.shape[0]
 
         rec_tile = _neighbor_tile17x25(jnp.zeros_like(src_tile),
@@ -96,7 +102,8 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
         m16cost = sad16.astype(jnp.float32)
         m16cost = m16cost.at[:, 0].add(jnp.where(at, 0.0, big))
         m16cost = m16cost.at[:, 1].add(jnp.where(al, 0.0, big))
-        m16cost = m16cost.at[:, 3].add(jnp.where(at & al, 0.0, big))
+        m16cost = m16cost.at[:, 3].add(jnp.where(at & al & atl, 0.0,
+                                                 big))
         i16_mode = jnp.argmin(m16cost, axis=1)
         i16_cost = jnp.min(m16cost, axis=1)
         p16 = jnp.take_along_axis(bank16,
@@ -134,7 +141,7 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
             if blk in _TR_NEVER:
                 sub = jnp.ones_like(at_edge)
             elif blk == _TR_EDGE_BLK:
-                sub = at_edge
+                sub = at_edge | ~atr
             else:
                 sub = jnp.zeros_like(at_edge)
             t3 = top[:, 3:4]
@@ -148,8 +155,19 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
                 .astype(jnp.float32)
             need_top = jnp.asarray([1, 0, 0, 1, 1, 1, 1, 1, 0], bool)
             need_left = jnp.asarray([0, 1, 0, 0, 1, 1, 1, 0, 1], bool)
+            # modes reading the corner sample p[-1,-1] (8.3.1.2.4-.6)
+            need_tl = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 0, 0], bool)
+            if _BLK_X[blk] == 0 and _BLK_Y[blk] == 0:
+                b_atl = atl
+            elif _BLK_Y[blk] == 0:
+                b_atl = at
+            elif _BLK_X[blk] == 0:
+                b_atl = al
+            else:
+                b_atl = vld
             pen = jnp.where(need_top[None, :] & ~b_at[:, None], big, 0.0) + \
-                jnp.where(need_left[None, :] & ~b_al[:, None], big, 0.0)
+                jnp.where(need_left[None, :] & ~b_al[:, None], big, 0.0) + \
+                jnp.where(need_tl[None, :] & ~b_atl[:, None], big, 0.0)
             cost = sad + pen + lam * 4.0
             cost = cost.at[:, 2].add(-lam * 3.0)  # DC usually cheapest bits
             mode = jnp.argmin(cost, axis=1)
@@ -182,7 +200,7 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
                    for b, s in zip(banks, csrc)).astype(jnp.float32)
         sadc = sadc.at[:, 2].add(jnp.where(at, 0.0, big))
         sadc = sadc.at[:, 1].add(jnp.where(al, 0.0, big))
-        sadc = sadc.at[:, 3].add(jnp.where(at & al, 0.0, big))
+        sadc = sadc.at[:, 3].add(jnp.where(at & al & atl, 0.0, big))
         cmode = jnp.argmin(sadc, axis=1)
 
         ch_dc = []

@@ -350,9 +350,8 @@ def _decode_gop_sharded(mesh: Mesh, gop_stream: bytes):
     dec = Decoder(batch_k=1)
 
     state = {"ref": None}
-    orig = Decoder._flush
 
-    def flush_sharded(self, layer):
+    def flush_sharded(layer):
         jobs, layer.jobs = layer.jobs, []
         for job in jobs:
             gw, gh = job.gw, job.gh
@@ -363,18 +362,31 @@ def _decode_gop_sharded(mesh: Mesh, gop_stream: bytes):
                 state["ref"] = (z, zc, zc)
             rY, rU, rV = state["ref"]
             pps_off = layer.ring_key[3] if layer.ring_key else 0
+            # the sharded step carries ONE reference slot: refuse streams
+            # whose packed ref indices address other slots (multi-ref /
+            # MMCO / reflist-mod would silently read the wrong picture)
+            from hartallo_tpu.decode.d_gop import _OFF
+            o0, o1, _ = _OFF["ref_idx"]
+            slots = job.packed[:, o0:o1]
+            if (slots > 0).any():
+                raise ValueError(
+                    "sharded decode supports single-reference streams "
+                    f"only (packed ref slots up to {int(slots.max())})")
             yo, uvo, y, u, v = decode_frame_step_sharded(
                 mesh, job.packed, rY, rU, rV, gw=gw, gh=gh,
                 chroma_qp_off=pps_off, has_intra=bool(job.has_intra))
-            state["ref"] = (y, u, v)
+            # only REFERENCE pictures update the carried reference
+            # (job.wslot == trash slot marks non-reference pictures)
+            S = layer.ring_key[2] if layer.ring_key else 1
+            if job.wslot != S - 1:
+                state["ref"] = (y, u, v)
             out = _np.concatenate([_np.asarray(yo), _np.asarray(uvo)])
             from hartallo_tpu.decode.decoder import _BatchOut
             job.out = (_BatchOut(out[None]), 0)
 
-    Decoder._flush = flush_sharded
-    try:
-        res = dec.decode_annexb(gop_stream, tolerant=False)
-        results = [r.frame for r in res]
-    finally:
-        Decoder._flush = orig
+    # instance-level override (a class-level patch would leak into other
+    # Decoder instances used concurrently)
+    dec._flush = flush_sharded
+    res = dec.decode_annexb(gop_stream, tolerant=False)
+    results = [r.frame for r in res]
     return results

@@ -51,7 +51,8 @@ def _encode(map_type, groups):
 
 
 @pytest.mark.parametrize("map_type,groups",
-                         [(0, 2), (1, 3), (2, 2), (6, 2)])
+                         [(0, 2), (1, 3), (2, 2), (3, 2), (4, 2),
+                          (5, 2), (6, 2)])
 def test_fmo_round_trip_vs_reference(map_type, groups, ref_driver,
                                      tmp_path):
     stream = _encode(map_type, groups)
