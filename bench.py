@@ -98,19 +98,187 @@ def main():
     except Exception as e:                              # noqa: BLE001
         ref_part = {"error": str(e)[:160]}
 
+    try:
+        stages = bench_decode_stages()
+    except Exception as e:                              # noqa: BLE001
+        stages = {"error": str(e)[:160]}
+
+    try:
+        rd = bench_rd_table()
+    except Exception as e:                              # noqa: BLE001
+        rd = {"error": str(e)[:160]}
+
     cif = matrix.get("cif", {})
     if "encode_fps" in cif:
         combined = 1.0 / (1.0 / cif["encode_fps"] + 1.0 / cif["decode_fps"])
     else:
         combined = 0.0
-    print(json.dumps({
+    out = {
         "metric": "cif_encode_decode_fps",
         "value": round(combined, 3),
         "unit": "frames/s",
         "vs_baseline": round(combined / BASELINE_COMBINED_CIF, 4),
         "matrix": matrix,
         "ref_stream_decode": ref_part,
-    }))
+        "decode_stages_cif": stages,
+        "rd_table": rd,
+        "delta_vs_prev_round": _delta_vs_prev(matrix),
+    }
+    print(json.dumps(out))
+
+
+def _delta_vs_prev(matrix):
+    """fps deltas vs the last recorded round (so regressions fail
+    loudly — VERDICT r3 weak item 3)."""
+    import glob
+    import pathlib
+    here = pathlib.Path(__file__).parent
+    prevs = sorted(glob.glob(str(here / "BENCH_r*.json")))
+    if not prevs:
+        return None
+    try:
+        prev = json.loads(open(prevs[-1]).read())
+        pm = prev.get("parsed", prev).get("matrix", {})
+    except Exception:                                   # noqa: BLE001
+        return None
+    delta = {"prev": pathlib.Path(prevs[-1]).name}
+    for name, cur in matrix.items():
+        p = pm.get(name, {})
+        for k in ("encode_fps", "decode_fps"):
+            if isinstance(cur, dict) and k in cur and k in p and p[k]:
+                delta[f"{name}_{k}"] = round(cur[k] - p[k], 2)
+    return delta
+
+
+def _psnr(a, b):
+    import math
+    mse = np.mean((np.asarray(a, np.float64) -
+                   np.asarray(b, np.float64)) ** 2)
+    return round(10 * math.log10(255 * 255 / mse), 3) if mse else 99.0
+
+
+def bench_rd_table():
+    """PSNR @ bits for QP 24/30/36 at CIF, ours vs the reference encoder
+    (both decoded bit-exactly, so recon PSNR is decode PSNR)."""
+    import pathlib
+    import subprocess
+    import tempfile
+
+    from hartallo_tpu.api import Codec, CodecConfig
+
+    rd = pathlib.Path(__file__).parent / ".refbuild" / "ref_driver"
+    W, H, NF = 352, 288, 8
+    clip = make_clip(W, H, NF)
+    raw = np.frombuffer(b"".join(bytes(f) for f in clip), np.uint8)
+    table = {}
+    for qp in (24, 30, 36):
+        enc = Codec(CodecConfig(width=W, height=H, qp=qp, gop_size=NF,
+                                deblock=True, me_range=12))
+        results = enc.encode_frames(clip, W, H)
+        stream = b"".join(r.headers + r.data for r in results)
+        out = Codec(CodecConfig()).decode_annexb(stream)
+        got = np.concatenate([r.frame for r in out])
+        row = {"ours_bits": len(stream) * 8,
+               "ours_psnr": _psnr(raw, got)}
+        if rd.exists():
+            with tempfile.TemporaryDirectory() as td:
+                td = pathlib.Path(td)
+                (td / "in.yuv").write_bytes(bytes(raw))
+                subprocess.run(
+                    [str(rd), "encode", str(td / "in.yuv"), str(W),
+                     str(H), str(td / "out.264"), str(qp), str(NF),
+                     str(NF), "1", "16", "1"], check=True,
+                    capture_output=True, timeout=600)
+                subprocess.run(
+                    [str(rd), "decode", str(td / "out.264"),
+                     str(td / "ref.yuv"), "1"], check=True,
+                    capture_output=True, timeout=600,
+                    env=dict(os.environ, REF_NO_SIMD="1"))
+                refbits = (td / "out.264").stat().st_size * 8
+                refout = np.frombuffer((td / "ref.yuv").read_bytes(),
+                                       np.uint8)
+            row["ref_bits"] = refbits
+            row["ref_psnr"] = _psnr(raw, refout)
+        table[f"qp{qp}"] = row
+    return table
+
+
+def bench_decode_stages():
+    """Per-stage CIF decode breakdown: host CAVLC parse, pack+dispatch,
+    device compute, output fetch (VERDICT r3 item 2)."""
+    import jax
+
+    from hartallo_tpu.api import Codec, CodecConfig
+    import hartallo_tpu.decode.decoder as DM
+
+    W, H, NF = 352, 288, 16
+    clip = make_clip(W, H, NF)
+    enc = Codec(CodecConfig(width=W, height=H, qp=QP, gop_size=NF,
+                            deblock=True, me_range=12))
+    stream = b"".join(r.headers + r.data
+                      for r in enc.encode_frames(clip, W, H))
+    Codec(CodecConfig()).decode_annexb(stream)          # warmup
+
+    T = {"parse": 0.0, "enqueue": 0.0, "flush_host": 0.0,
+         "device_wait": 0.0, "fetch": 0.0}
+    orig_dsd = DM.SliceDecoder.decode_slice_data
+    orig_enq = DM.Decoder._enqueue_batched
+    orig_flush = DM.Decoder._flush
+    orig_fetch = DM._BatchOut.fetch
+
+    def dsd(self, *a, **k):
+        t0 = time.perf_counter()
+        r = orig_dsd(self, *a, **k)
+        T["parse"] += time.perf_counter() - t0
+        return r
+
+    def enq(self, *a, **k):
+        t0 = time.perf_counter()
+        r = orig_enq(self, *a, **k)
+        T["enqueue"] += time.perf_counter() - t0
+        return r
+
+    def flush(self, layer):
+        t0 = time.perf_counter()
+        r = orig_flush(self, layer)
+        t1 = time.perf_counter()
+        T["flush_host"] += t1 - t0
+        if layer.ring is not None:
+            jax.block_until_ready(layer.ring)
+        T["device_wait"] += time.perf_counter() - t1
+        return r
+
+    def fetch(self):
+        t0 = time.perf_counter()
+        r = orig_fetch(self)
+        T["fetch"] += time.perf_counter() - t0
+        return r
+
+    DM.SliceDecoder.decode_slice_data = dsd
+    DM.Decoder._enqueue_batched = enq
+    DM.Decoder._flush = flush
+    DM._BatchOut.fetch = fetch
+    try:
+        dec = Codec(CodecConfig())
+        t0 = time.perf_counter()
+        out = dec.decode_annexb(stream)
+        total = time.perf_counter() - t0
+    finally:
+        DM.SliceDecoder.decode_slice_data = orig_dsd
+        DM.Decoder._enqueue_batched = orig_enq
+        DM.Decoder._flush = orig_flush
+        DM._BatchOut.fetch = orig_fetch
+    assert len(out) == NF
+    ms = {k: round(v * 1e3 / NF, 3) for k, v in T.items()}
+    # enqueue nests parse-free pack AND the batch flush (host dispatch +
+    # device wait): report it as the pure host pack/mv-derive remainder
+    ms["enqueue"] = round(max(ms["enqueue"] - ms["flush_host"]
+                              - ms["device_wait"], 0.0), 3)
+    ms["total_per_frame"] = round(total * 1e3 / NF, 3)
+    ms["note"] = ("parse = host CAVLC; enqueue = mv-derive + pack; "
+                  "device_wait = GOP program completion behind the "
+                  "async dispatch; fetch = device->host output copy")
+    return ms
 
 
 def bench_reference_stream():

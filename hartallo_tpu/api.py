@@ -50,6 +50,8 @@ class CodecConfig:
     temporal_layers: int = 1
     svc_inter_layer_p: bool = True           # EP base_mode (G.8.6.1) for
                                              # enhancement-layer P frames
+    rc_basic_unit: bool = True               # per-MB-row QP adaptation
+                                             # when rate control is on
     # decode-side temporal window: drop slices with temporal_id > tid_max
     # (-1 = decode everything)
     tid_max: int = -1

@@ -170,6 +170,15 @@ def _p_frame_body(src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h,
             wq, mv44, ref44, jnp.zeros((gh, gw), bool),
             qp, chroma_qp_off, (recY, recU, recV), gw, gh,
             fmb_v=fmb_v, fmb_h=fmb_h)
+    # re-replicate the pad from the deblocked interior — deblocking can
+    # change frame-edge pixels (internal V/H edges), and the decoder's
+    # reference ring edge-pads AFTER deblocking
+    def _repad(p, h, w):
+        inner = jax.lax.dynamic_slice(p, (PAD, PAD), (h, w))
+        return jnp.pad(inner, PAD, mode="edge")
+    recY = _repad(recY, H, W)
+    recU = _repad(recU, H // 2, W // 2)
+    recV = _repad(recV, H // 2, W // 2)
     arrays = {"luma_ac": wq, "chroma_dc": dcq, "chroma_ac": acq,
               "mv44": mv44,
               "choice": choice.reshape(gh, gw)}

@@ -328,6 +328,27 @@ class Encoder:
             qp_val = self.cfg.qp
 
         qp = np.full((gh, gw), qp_val, np.int32)
+        if self._rc is not None and self.cfg.rc_basic_unit and \
+                not is_idr and self._ref_planes is not None:
+            # basic-unit (MB-row) QP adaptation: per-row activity of the
+            # incoming frame vs the reference recon
+            buf = np.frombuffer(bytes(frame), np.uint8) if not \
+                isinstance(frame, np.ndarray) else \
+                np.asarray(frame).ravel()
+            y = buf[:width * height].reshape(height, width)
+            ry = np.asarray(self._ref_planes[0])[PAD:PAD + gh * 16,
+                                                 PAD:PAD + gw * 16]
+            hh = min(height, gh * 16)
+            diff = np.abs(y[:hh].astype(np.int32) -
+                          ry[:hh, :width].astype(np.int32))
+            pad_rows = gh * 16 - hh
+            if pad_rows:
+                diff = np.vstack([diff, np.zeros((pad_rows, width),
+                                                 np.int32)])
+            row_mads = diff.reshape(gh, 16, -1).mean(axis=(1, 2))
+            qp = np.broadcast_to(
+                self._rc.row_qps(qp_val, row_mads, is_idr)[:, None],
+                (gh, gw)).copy()
         lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp_val - 12) / 3.0)))
         ranges, slice_id, avail_l, avail_t, avail_tr, avail_tl = \
             self._slice_layout(gw, gh)

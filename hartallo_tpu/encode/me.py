@@ -119,13 +119,18 @@ _PART_OF_BLK = {
 
 @partial(jax.jit, static_argnames=("gw", "gh", "nparts"))
 def refine_subpel(src_pad, ref_pad, mv_blk, part_of_blk, lam_motion,
-                  step_qpel, *, gw: int, gh: int, nparts: int):
+                  step_qpel, *, gw: int, gh: int, nparts: int,
+                  use_satd: bool = True):
     """One 9-point refinement round at +-step_qpel quarter-pel units.
 
     mv_blk (gh,gw,16,2) quarter-pel MVs per 4x4 block (same within each
     partition); part_of_blk (gh,gw,16) partition id in [0,nparts);
+    ``use_satd``: Hadamard SATD distortion (hl_math.c:283) instead of
+    SAD — the standard sub-pel metric (half/quarter-pel interpolation is
+    a low-pass filter, so SAD systematically under-scores it).
     Returns updated mv_blk and per-partition cost (gh,gw,nparts).
     """
+    from hartallo_tpu.ops.math import satd4x4
     n = gh * gw * 16
     myg, mxg, byg, bxg = np.meshgrid(np.arange(gh), np.arange(gw),
                                      np.arange(4), np.arange(4),
@@ -144,8 +149,12 @@ def refine_subpel(src_pad, ref_pad, mv_blk, part_of_blk, lam_motion,
         mvx = mvf[:, 0] + ddx * step_qpel
         mvy = mvf[:, 1] + ddy * step_qpel
         pred = luma_mc_blocks(ref_pad, bx, by, mvx, mvy)
-        sad = jnp.abs(pred - src_blocks).sum(axis=(1, 2)) \
-            .astype(jnp.float32).reshape(gh, gw, 16)
+        if use_satd:
+            sad = satd4x4(pred, src_blocks) \
+                .astype(jnp.float32).reshape(gh, gw, 16)
+        else:
+            sad = jnp.abs(pred - src_blocks).sum(axis=(1, 2)) \
+                .astype(jnp.float32).reshape(gh, gw, 16)
         # aggregate per partition
         onehot = jax.nn.one_hot(part_of_blk, nparts, dtype=jnp.float32)
         psad = jnp.einsum("ghbn,ghb->ghn", onehot, sad)

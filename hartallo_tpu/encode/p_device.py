@@ -118,7 +118,9 @@ def p_frame_device(srcY, srcU, srcV, refY, refU, refV, qp, lam,
                        (b & 1) * 4:(b & 1) * 4 + 4].set(rr[..., b, :, :])
     rec_c = jnp.clip(pred_c + recc, 0, 255)
 
-    recY = jnp.pad(mbs_to_plane(rec_y), PAD)
-    recU = jnp.pad(mbs_to_plane(rec_c[:, :, 0]), PAD)
-    recV = jnp.pad(mbs_to_plane(rec_c[:, :, 1]), PAD)
+    # edge pad (not zeros): the decoder's reference ring edge-pads, and
+    # MC windows clamped into the pad must read identical samples
+    recY = jnp.pad(mbs_to_plane(rec_y), PAD, mode="edge")
+    recU = jnp.pad(mbs_to_plane(rec_c[:, :, 0]), PAD, mode="edge")
+    recV = jnp.pad(mbs_to_plane(rec_c[:, :, 1]), PAD, mode="edge")
     return wq, dcq, acq, mv44, choice, recY, recU, recV

@@ -50,6 +50,7 @@ class RateControl:
     target_level: float = 0.0
     bits_min: float = -1.0          # per-second clamps (rc_bitrate_min/max)
     bits_max: float = -1.0
+    cpb_size: float = 0.0           # CPB capacity in bits (0 = 1s of rate)
     remaining_bits: float = 0.0
     np_left: int = 0
     gop_idx: int = -1
@@ -129,10 +130,40 @@ class RateControl:
         qp = qstep2qp(qstep)
         qp = max(self.qp_prev_p - self.ddquant,
                  min(self.qp_prev_p + self.ddquant, qp))
+        # HRD/CPB-style clamp (the reference's hrd.c is an empty shell;
+        # this enforces the A.3 buffer intent): buffer_level tracks
+        # occupancy above the steady-state drain — near overflow force a
+        # coarser QP, near underflow allow a finer one
+        cpb = self.cpb_size if self.cpb_size > 0 else self.bitrate
+        if self.buffer_level > 0.45 * cpb:
+            qp = max(qp, self.qp_prev_p + 1)
+        elif self.buffer_level < -0.45 * cpb:
+            qp = min(qp, self.qp_prev_p - 1)
         qp = max(self.qp_min, min(self.qp_max, qp))
         self._pending_target = target
         self._last_was_i = False
         return int(qp)
+
+    # ------------------------------------------------------------------
+    def row_qps(self, base_qp: int, row_mads, is_idr: bool):
+        """Basic-unit QP adaptation (G012 with basic unit = one MB row;
+        the reference's per-MB hook ``hl_codec_264_rc.c:407`` is compiled
+        out, this implements the algorithm it stubs).  ``row_mads``:
+        per-MB-row activity of the incoming frame (e.g. mean |src - ref|
+        per row).  Rows predicted to need more bits than their share get
+        a coarser QP (+-ddquant around the frame QP), which is how G012
+        meets the frame target without a within-frame feedback loop."""
+        import numpy as _np
+        m = _np.asarray(row_mads, _np.float64)
+        if is_idr or m.size == 0 or m.sum() <= 0:
+            return _np.full(max(m.size, 1), base_qp, _np.int32)
+        rel = m / max(m.mean(), 1e-6)
+        # qstep scales ~ with the bit overshoot ratio; 6 QP = 2x qstep
+        dq = _np.clip(_np.round(6.0 * _np.log2(_np.maximum(rel, 1e-3))
+                                / 2.0),
+                      -self.ddquant, self.ddquant).astype(_np.int32)
+        return _np.clip(base_qp + dq, self.qp_min,
+                        self.qp_max).astype(_np.int32)
 
     # ------------------------------------------------------------------
     def end_frame(self, qp_used: int, bits_used: int, mad: float,
