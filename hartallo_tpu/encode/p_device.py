@@ -66,10 +66,12 @@ def p_frame_device(srcY, srcU, srcV, refY, refU, refV, qp, lam,
     part_of_blk = pmaps[choice]
 
     if refine:
+        from hartallo_tpu.ops.wide import halfpel_planes
+        hp = halfpel_planes(refY)           # shared by both rounds
         mv_blk, _ = refine_subpel(srcY, refY, mv_blk, part_of_blk, lamf, 2,
-                                  gw=gw, gh=gh, nparts=4)
+                                  gw=gw, gh=gh, nparts=4, hp=hp)
         mv_blk, _ = refine_subpel(srcY, refY, mv_blk, part_of_blk, lamf, 1,
-                                  gw=gw, gh=gh, nparts=4)
+                                  gw=gw, gh=gh, nparts=4, hp=hp)
 
     mv44 = mv_blk.reshape(gh, gw, 4, 4, 2)
     zeros_ref = jnp.zeros((gh, gw, 4), jnp.int32)
