@@ -52,6 +52,8 @@ class CodecConfig:
                                              # enhancement-layer P frames
     rc_basic_unit: bool = True               # per-MB-row QP adaptation
                                              # when rate control is on
+    intra_in_p: bool = True                  # per-MB intra/inter choice
+                                             # in P frames (slice.c:1797)
     # decode-side temporal window: drop slices with temporal_id > tid_max
     # (-1 = decode everything)
     tid_max: int = -1

@@ -22,6 +22,7 @@ from hartallo_tpu.core.tables import LUMA_4x4_BLK_XY, QP_SCALE_CHROMA
 from hartallo_tpu.decode.intra_recon import PAD
 from hartallo_tpu.encode.intra_encode import intra_encode_frame
 from hartallo_tpu.encode.p_device import p_frame_device
+from hartallo_tpu.ops.math import satd4x4
 from hartallo_tpu.ops.deblock import compute_bs, \
     deblock_frame_s1 as deblock_frame
 
@@ -36,6 +37,10 @@ INTRA_FIELDS = [
 P_FIELDS = [
     ("luma_ac", (16, 4, 4)), ("chroma_dc", (2, 2, 2)),
     ("chroma_ac", (2, 4, 4, 4)), ("mv44", (4, 4, 2)), ("choice", ()),
+    # intra-in-P (hl_codec_264_slice.c:1797: the reference picks intra
+    # vs inter per macroblock)
+    ("is_intra", ()), ("use_i16", ()), ("i16_mode", ()),
+    ("i4_modes", (16,)), ("chroma_mode", ()), ("luma_dc", (4, 4)),
 ]
 
 
@@ -156,18 +161,75 @@ def i_frame_fused(src_u8, qp, lam, avail_l, avail_t, avail_tr, avail_tl,
 
 
 def _p_frame_body(src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h,
+                  avail_l=None, avail_t=None, avail_tr=None,
+                  avail_tl=None,
                   *, gw: int, gh: int, rng: int, refine: bool,
-                  chroma_qp_off: int, deblock: bool):
+                  chroma_qp_off: int, deblock: bool,
+                  intra_in_p: bool = True):
     H, W = gh * 16, gw * 16
     srcY, srcU, srcV = _split_src(src_u8, gw, gh)
-    wq, dcq, acq, mv44, choice, recY, recU, recV = p_frame_device(
+    (wq, dcq, acq, mv44, choice, recY, recU, recV,
+     inter_cost) = p_frame_device(
         srcY, srcU, srcV, refY, refU, refV, qp, lam,
         gw=gw, gh=gh, rng=rng, refine=refine,
         chroma_qp_off=chroma_qp_off)
+
+    # ---- intra-in-P: per-MB intra vs inter (hl_codec_264_slice.c:1797)
+    if intra_in_p:
+        src_mb = jax.lax.dynamic_slice(srcY, (PAD, PAD), (H, W)) \
+            .reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
+        blk = src_mb.reshape(gh, gw, 4, 4, 4, 4).transpose(
+            0, 1, 2, 4, 3, 5).reshape(gh, gw, 16, 4, 4)
+        dc = blk.mean(axis=(-1, -2), keepdims=True).astype(jnp.int32)
+        # conservative source-activity estimate: SATD against the block
+        # DC (SATD vs the inter SAD cost biases against intra, which
+        # picks intra only where inter clearly fails, e.g. uncovering)
+        intra_est = satd4x4(blk, dc).sum(axis=-1).astype(jnp.float32) + \
+            lam * 24.0
+        imask = intra_est < inter_cost
+        if avail_l is None:
+            avail_l = jnp.zeros((gh, gw), bool).at[:, 1:].set(True)
+            avail_t = jnp.zeros((gh, gw), bool).at[1:, :].set(True)
+            avail_tr = jnp.zeros((gh, gw), bool).at[1:, :-1].set(True)
+            avail_tl = jnp.zeros((gh, gw), bool).at[1:, 1:].set(True)
+
+        def intra_branch(ops):
+            rY, rU, rV = ops
+            irY, irU, irV, ia = intra_encode_frame(
+                srcY, srcU, srcV, qp, chroma_qp_off, avail_l, avail_t,
+                lam, avail_tr, avail_tl, base_planes=(rY, rU, rV),
+                mb_mask=imask, gw=gw, gh=gh)
+            return (irY, irU, irV, ia["use_i16"], ia["i16_mode"],
+                    ia["i4_modes"], ia["chroma_mode"], ia["luma_dc"],
+                    ia["luma_ac"], ia["chroma_dc"], ia["chroma_ac"])
+
+        def inter_only(ops):
+            rY, rU, rV = ops
+            z = jnp.zeros((gh, gw), jnp.int32)
+            return (rY, rU, rV, z, z, jnp.zeros((gh, gw, 16), jnp.int32),
+                    z, jnp.zeros((gh, gw, 4, 4), jnp.int32),
+                    jnp.zeros_like(wq), jnp.zeros_like(dcq),
+                    jnp.zeros_like(acq))
+
+        (recY, recU, recV, use16, i16m, i4m, cmode, ldc, iwq, idcq,
+         iacq) = jax.lax.cond(imask.any(), intra_branch, inter_only,
+                              (recY, recU, recV))
+        m1 = imask[:, :, None, None, None]
+        wq = jnp.where(m1, iwq, wq)
+        dcq = jnp.where(imask[:, :, None, None, None], idcq, dcq)
+        acq = jnp.where(imask[:, :, None, None, None, None], iacq, acq)
+        mv44 = jnp.where(imask[:, :, None, None, None], 0, mv44)
+    else:
+        imask = jnp.zeros((gh, gw), bool)
+        z = jnp.zeros((gh, gw), jnp.int32)
+        use16, i16m, cmode = z, z, z
+        i4m = jnp.zeros((gh, gw, 16), jnp.int32)
+        ldc = jnp.zeros((gh, gw, 4, 4), jnp.int32)
+
     if deblock:
         ref44 = jnp.zeros((gh, gw, 4, 4), jnp.int32)
         recY, recU, recV = deblock_recon_device(
-            wq, mv44, ref44, jnp.zeros((gh, gw), bool),
+            wq, mv44, ref44, imask,
             qp, chroma_qp_off, (recY, recU, recV), gw, gh,
             fmb_v=fmb_v, fmb_h=fmb_h)
     # re-replicate the pad from the deblocked interior — deblocking can
@@ -181,7 +243,10 @@ def _p_frame_body(src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h,
     recV = _repad(recV, H // 2, W // 2)
     arrays = {"luma_ac": wq, "chroma_dc": dcq, "chroma_ac": acq,
               "mv44": mv44,
-              "choice": choice.reshape(gh, gw)}
+              "choice": choice.reshape(gh, gw),
+              "is_intra": imask.astype(jnp.int32), "use_i16": use16,
+              "i16_mode": i16m, "i4_modes": i4m, "chroma_mode": cmode,
+              "luma_dc": ldc}
     packed = _pack(arrays, P_FIELDS, gh, gw)
     mad = jnp.abs(
         jax.lax.dynamic_slice(srcY, (PAD, PAD), (H, W)) -
@@ -191,22 +256,32 @@ def _p_frame_body(src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h,
 
 
 @partial(jax.jit, static_argnames=("gw", "gh", "rng", "refine",
-                                   "chroma_qp_off", "deblock"))
+                                   "chroma_qp_off", "deblock",
+                                   "intra_in_p"))
 def p_frame_fused(src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h,
+                  avail_l=None, avail_t=None, avail_tr=None,
+                  avail_tl=None,
                   *, gw: int, gh: int, rng: int, refine: bool,
-                  chroma_qp_off: int, deblock: bool):
+                  chroma_qp_off: int, deblock: bool,
+                  intra_in_p: bool = True):
     """P frame: fused ME/MC/transform/recon + in-loop deblock + packed
     output.  Returns (packed, mad_sum, recY, recU, recV)."""
     return _p_frame_body(src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h,
+                         avail_l, avail_t, avail_tr, avail_tl,
                          gw=gw, gh=gh, rng=rng, refine=refine,
-                         chroma_qp_off=chroma_qp_off, deblock=deblock)
+                         chroma_qp_off=chroma_qp_off, deblock=deblock,
+                         intra_in_p=intra_in_p)
 
 
 @partial(jax.jit, static_argnames=("gw", "gh", "rng", "refine",
-                                   "chroma_qp_off", "deblock"))
+                                   "chroma_qp_off", "deblock",
+                                   "intra_in_p"))
 def p_gop_fused(src_k_u8, refY, refU, refV, qp_k, lam_k, fmb_v, fmb_h,
-                is_ref_k, *, gw: int, gh: int, rng: int, refine: bool,
-                chroma_qp_off: int, deblock: bool):
+                is_ref_k, avail_l=None, avail_t=None, avail_tr=None,
+                avail_tl=None,
+                *, gw: int, gh: int, rng: int, refine: bool,
+                chroma_qp_off: int, deblock: bool,
+                intra_in_p: bool = True):
     """K consecutive P frames in ONE device program: a ``lax.scan`` over
     frames carrying the deblocked recon (the TPU analog of the per-frame
     DPB hand-off, without K host round trips).
@@ -220,8 +295,10 @@ def p_gop_fused(src_k_u8, refY, refU, refV, qp_k, lam_k, fmb_v, fmb_h,
         src_u8, qp, lam, is_ref = x
         packed, mad, recY, recU, recV = _p_frame_body(
             src_u8, refY, refU, refV, qp, lam, fmb_v, fmb_h,
+            avail_l, avail_t, avail_tr, avail_tl,
             gw=gw, gh=gh, rng=rng,
-            refine=refine, chroma_qp_off=chroma_qp_off, deblock=deblock)
+            refine=refine, chroma_qp_off=chroma_qp_off, deblock=deblock,
+            intra_in_p=intra_in_p)
         # non-reference frames (temporal_id > 0) leave the carry alone:
         # later frames keep predicting from the last T0 recon
         keep = lambda new, old: jnp.where(is_ref, new, old)  # noqa: E731

@@ -241,7 +241,8 @@ class Encoder:
         qp_val = self.cfg.qp
         qp = np.full((gh, gw), qp_val, np.int32)
         lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp_val - 12) / 3.0)))
-        ranges, slice_id, _, _, _, _ = self._slice_layout(gw, gh)
+        (ranges, slice_id, avail_l, avail_t, avail_tr,
+         avail_tl) = self._slice_layout(gw, gh)
 
         fmb_v, fmb_h = self._deblock_masks(slice_id)
         two_t = self.cfg.temporal_layers >= 2
@@ -255,9 +256,12 @@ class Encoder:
             jnp.full((K,), lam, jnp.float32),
             jnp.asarray(fmb_v), jnp.asarray(fmb_h),
             jnp.asarray(np.array([t == 0 for t in tids])),
+            jnp.asarray(avail_l), jnp.asarray(avail_t),
+            jnp.asarray(avail_tr), jnp.asarray(avail_tl),
             gw=gw, gh=gh, rng=R, refine=self.cfg.me_range > 0,
             chroma_qp_off=pps.chroma_qp_index_offset,
-            deblock=bool(self.cfg.deblock))
+            deblock=bool(self.cfg.deblock),
+            intra_in_p=bool(self.cfg.intra_in_p))
         self._ref_planes = (recY, recU, recV)
         try:
             packed_k.copy_to_host_async()
@@ -368,10 +372,13 @@ class Encoder:
             packed, mad, recY, recU, recV = p_frame_fused(
                 src_u8, refY, refU, refV, jnp.asarray(qp),
                 jnp.float32(lam), jnp.asarray(fmb_v), jnp.asarray(fmb_h),
+                jnp.asarray(avail_l), jnp.asarray(avail_t),
+                jnp.asarray(avail_tr), jnp.asarray(avail_tl),
                 gw=gw, gh=gh, rng=R,
                 refine=self.cfg.me_range > 0,
                 chroma_qp_off=pps.chroma_qp_index_offset,
-                deblock=bool(self.cfg.deblock))
+                deblock=bool(self.cfg.deblock),
+                intra_in_p=bool(self.cfg.intra_in_p))
         if tid == 0:
             self._ref_planes = (recY, recU, recV)
         frame_num = self.frame_num
@@ -432,12 +439,12 @@ class Encoder:
             mb_kind = np.select(
                 [choice_np == 0, choice_np == 1, choice_np == 2],
                 [MB_P16X16, MB_P16X8, MB_P8X16], MB_P8X8).astype(np.int8)
+            # intra-in-P: MBs the device pipeline coded intra
+            is_intra = arrays["is_intra"] != 0
+            mb_kind = np.where(is_intra,
+                               np.where(arrays["use_i16"] != 0, 1, 0),
+                               mb_kind).astype(np.int8)
             arrays.update({
-                "use_i16": np.zeros((gh, gw), np.int32),
-                "i16_mode": np.zeros((gh, gw), np.int32),
-                "i4_modes": np.zeros((gh, gw, 16), np.int32),
-                "chroma_mode": np.zeros((gh, gw), np.int32),
-                "luma_dc": np.zeros((gh, gw, 4, 4), np.int32),
                 "ref_idx": np.zeros((gh, gw, 4), np.int8),
                 "sub_types": np.zeros((gh, gw, 4), np.int8),
             })
@@ -449,7 +456,7 @@ class Encoder:
                 arrays["sub_types"], coded, pend["slice_id"])
             self._last_motion = (arrays["mv44"].astype(np.int32),
                                  arrays["ref_idx"].astype(np.int8),
-                                 np.zeros((gh, gw), bool))
+                                 is_intra)
             skip_ok &= mb_kind == MB_P16X16
             payload = self._pack_slices(arrays, qp, mb_kind, ranges,
                                         is_idr=False, is_p=True, mvd=mvd,
@@ -596,7 +603,8 @@ class Encoder:
 
         refY, refU, refV = self._ref_planes
         R = int(min(self.cfg.me_range, PAD - 8))
-        wq, dcq, acq, mv44_d, choice_d, recY, recU, recV = p_frame_device(
+        (wq, dcq, acq, mv44_d, choice_d, recY, recU, recV,
+         _) = p_frame_device(
             srcY, srcU, srcV, refY, refU, refV, jnp.asarray(qp),
             float(lam), gw=gw, gh=gh, rng=R,
             refine=self.cfg.me_range > 0,

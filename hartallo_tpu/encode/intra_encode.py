@@ -47,12 +47,18 @@ def _blocks_of_mb(mb16: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("gw", "gh"))
 def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
                        avail_left, avail_top, lam, avail_tr=None,
-                       avail_tl=None,
+                       avail_tl=None, base_planes=None, mb_mask=None,
                        *, gw: int, gh: int):
-    """Encode every MB of a frame as intra (I frame path).
+    """Encode intra macroblocks of a frame (every MB on the I-frame
+    path; a masked subset for intra-in-P).
 
     src_*: PAD-padded int32 source planes.  qp (gh,gw) int32.
     lam: scalar float32 lambda for the SAD+lambda*bits mode cost.
+    base_planes: optional PAD-padded (recY, recU, recV) holding the
+    already-reconstructed inter pixels; mb_mask (gh,gw) bool selects the
+    MBs to intra-code — masked-out MBs pass their base content through,
+    so intra prediction of later MBs reads the mixed inter/intra recon
+    exactly as the decoder's wavefront does.
     Returns dict of per-MB arrays + recon padded planes.
 
     Skewed-diagonal wavefront (ops/wavefront.py): one scan step processes
@@ -71,8 +77,24 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
         jax.lax.dynamic_slice(src_u, (PAD, PAD), (H // 2, W // 2)), 8))
     sv = sk(plane_to_tiles(
         jax.lax.dynamic_slice(src_v, (PAD, PAD), (H // 2, W // 2)), 8))
+    if base_planes is None:
+        by_t = jnp.zeros_like(sy)
+        bu_t = jnp.zeros_like(su)
+        bv_t = jnp.zeros_like(sv)
+    else:
+        bY, bU, bV = base_planes
+        by_t = sk(plane_to_tiles(
+            jax.lax.dynamic_slice(bY, (PAD, PAD), (H, W)), 16))
+        bu_t = sk(plane_to_tiles(
+            jax.lax.dynamic_slice(bU, (PAD, PAD), (H // 2, W // 2)), 8))
+        bv_t = sk(plane_to_tiles(
+            jax.lax.dynamic_slice(bV, (PAD, PAD), (H // 2, W // 2)), 8))
+    if mb_mask is None:
+        mb_mask = jnp.ones((gh, gw), bool)
 
-    xs = (sy, su, sv, sk(qp), sk(qpc),
+    xs = (sy, su, sv, by_t, bu_t, bv_t,
+          jnp.where(valid, sk(mb_mask), False),
+          sk(qp), sk(qpc),
           jnp.where(valid, sk(avail_left), False),
           jnp.where(valid, sk(avail_top), False),
           jnp.where(valid, sk(jnp.ones((gh, gw), bool) if avail_tr is None
@@ -86,8 +108,8 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
 
     def step(carry, x):
         r1y, r2y, r3y, r1u, r2u, r3u, r1v, r2v, r3v = carry
-        (src_tile, csrc_u, csrc_v, qp_mb, qpc_mb, al, at, atr, atl,
-         mxs, vld) = x
+        (src_tile, csrc_u, csrc_v, base_y, base_u, base_v, imask,
+         qp_mb, qpc_mb, al, at, atr, atl, mxs, vld) = x
         K = src_tile.shape[0]
 
         rec_tile = _neighbor_tile17x25(jnp.zeros_like(src_tile),
@@ -187,6 +209,7 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
         # ---- choose I16 vs I4 -------------------------------------------
         use16 = (i16_cost + lam * 6.0) < i4_cost
         recon = jnp.where(use16[:, None, None], rec16, rec4)
+        recon = jnp.where(imask[:, None, None], recon, base_y)
 
         # ---- chroma ------------------------------------------------------
         banks = []
@@ -230,7 +253,9 @@ def intra_encode_frame(src_y, src_u, src_v, qp, chroma_qp_off,
             for b in range(4):
                 recc = recc.at[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
                                (b & 1) * 4:(b & 1) * 4 + 4].set(rr[:, b])
-            crecs.append(jnp.clip(pc + recc, 0, 255))
+            base_c = base_u if pi == 0 else base_v
+            crecs.append(jnp.where(imask[:, None, None],
+                                   jnp.clip(pc + recc, 0, 255), base_c))
             ch_dc.append(dcq)
             ch_ac.append(acq)
 

@@ -20,6 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from hartallo_tpu.ops.interpol import PAD, luma_mc_blocks
+from hartallo_tpu.ops.math import satd4x4
+from hartallo_tpu.ops.wide import (halfpel_planes, mc_grids,
+                                   mc_luma_plane)
 
 
 def _se_bits(v):
@@ -133,9 +136,6 @@ def refine_subpel(src_pad, ref_pad, mv_blk, part_of_blk, lam_motion,
     Hadamard SATD (hl_math.c:283) unless ``use_satd`` is False.
     Returns updated mv_blk and per-partition cost (gh,gw,nparts).
     """
-    from hartallo_tpu.ops.math import satd4x4
-    from hartallo_tpu.ops.wide import halfpel_planes, mc_grids, \
-        mc_luma_plane
     H, W = gh * 16, gw * 16
     n = gh * gw * 16
     if hp is None:

@@ -18,6 +18,7 @@ from hartallo_tpu.decode.intra_recon import PAD
 from hartallo_tpu.encode.intra_encode import _blocks_of_mb, _BLK_X, _BLK_Y
 from hartallo_tpu.encode.me import _PART_OF_BLK, full_search_int, \
     refine_subpel
+from hartallo_tpu.ops.wide import halfpel_planes
 from hartallo_tpu.ops.transform import (
     chroma_dc_descale, dequant_4x4, forward_dct_4x4,
     forward_hadamard_quant_dc_chroma, forward_quant_4x4,
@@ -31,8 +32,10 @@ _J_QPC = jnp.asarray(QP_SCALE_CHROMA)
 def p_frame_device(srcY, srcU, srcV, refY, refU, refV, qp, lam,
                    *, gw: int, gh: int, rng: int, refine: bool,
                    chroma_qp_off: int):
-    """Returns (wq, dcq, acq, mv_blk, choice, recY, recU, recV) — rec
-    planes PAD-padded, device-resident."""
+    """Returns (wq, dcq, acq, mv_blk, choice, recY, recU, recV,
+    best_cost) — rec planes PAD-padded, device-resident; best_cost is
+    the winning partition's ME cost per MB (intra-in-P decision
+    input)."""
     H, W = gh * 16, gw * 16
     lamf = jnp.float32(lam)
 
@@ -44,7 +47,9 @@ def p_frame_device(srcY, srcU, srcV, refY, refU, refV, qp, lam,
     c168 = b168c.sum(-1) + lam_s * 3.0
     c816 = b816c.sum(-1) + lam_s * 3.0
     c88 = b88c.sum(-1) + lam_s * 9.0
-    choice = jnp.argmin(jnp.stack([c16, c168, c816, c88]), axis=0)
+    cost_stack = jnp.stack([c16, c168, c816, c88])
+    choice = jnp.argmin(cost_stack, axis=0)
+    best_cost = jnp.min(cost_stack, axis=0)                 # (gh, gw)
 
     def blk_of(vmap_part, part_map):
         pm = jnp.asarray(part_map.reshape(16))
@@ -66,7 +71,6 @@ def p_frame_device(srcY, srcU, srcV, refY, refU, refV, qp, lam,
     part_of_blk = pmaps[choice]
 
     if refine:
-        from hartallo_tpu.ops.wide import halfpel_planes
         hp = halfpel_planes(refY)           # shared by both rounds
         mv_blk, _ = refine_subpel(srcY, refY, mv_blk, part_of_blk, lamf, 2,
                                   gw=gw, gh=gh, nparts=4, hp=hp)
@@ -125,4 +129,4 @@ def p_frame_device(srcY, srcU, srcV, refY, refU, refV, qp, lam,
     recY = jnp.pad(mbs_to_plane(rec_y), PAD, mode="edge")
     recU = jnp.pad(mbs_to_plane(rec_c[:, :, 0]), PAD, mode="edge")
     recV = jnp.pad(mbs_to_plane(rec_c[:, :, 1]), PAD, mode="edge")
-    return wq, dcq, acq, mv44, choice, recY, recU, recV
+    return wq, dcq, acq, mv44, choice, recY, recU, recV, best_cost

@@ -92,6 +92,14 @@ class SvcEncoder:
         for li, (w, h) in enumerate(config.layers):
             sub = CodecConfig(**{**config.__dict__, "layers": []})
             sub.width, sub.height = w, h
+            # intra-in-P stays off inside SVC layer stacks: a mixed
+            # intra/inter base picture would make enhancement I_BL MBs
+            # resample across intra/inter borders, where the spec (and
+            # the reference decoder) constructs "not available" inter
+            # samples before filtering (G.8.6.2.2.2) — a path neither
+            # encoder implements.  All-inter / all-intra base pictures
+            # sidestep it.
+            sub.intra_in_p = False
             enc = Encoder(sub)
             enc._svc_layer = li
             enc._svc_nlayers = len(config.layers)

@@ -130,7 +130,7 @@ def p_encode_step_sharded(mesh: Mesh, srcY, srcU, srcV, refY, refU, refV,
         rUp = _halo_pad(rU, n, axis)
         rVp = _halo_pad(rV, n, axis)
         sYp, sUp, sVp = _edge_pad(sY), _edge_pad(sU), _edge_pad(sV)
-        wq, dcq, acq, mv44, choice, recY, recU, recV = p_frame_device(
+        wq, dcq, acq, mv44, choice, recY, recU, recV, _ = p_frame_device(
             sYp, sUp, sVp, rYp, rUp, rVp, qp_l, jnp.float32(lam),
             gw=gw, gh=gh_l, rng=rng, refine=True,
             chroma_qp_off=chroma_qp_off)

@@ -51,7 +51,7 @@ def _band_oracle(srcY, srcU, srcV, refY, refU, refV, qp):
         sU, rU = cut(srcU, 2), cut(refU, 2)
         sV, rV = cut(srcV, 2), cut(refV, 2)
         qp_l = jnp.asarray(qp[s * gh_l:(s + 1) * gh_l])
-        wq, dcq, acq, mv44, choice, recY, recU, recV = p_frame_device(
+        wq, dcq, acq, mv44, choice, recY, recU, recV, _ = p_frame_device(
             sY, sU, sV, rY, rU, rV, qp_l, jnp.float32(LAM),
             gw=GW, gh=gh_l, rng=RNG, refine=True, chroma_qp_off=0)
         recY, recU, recV = _shard_deblock(
