@@ -128,8 +128,10 @@ def main():
 
 
 def _delta_vs_prev(matrix):
-    """fps deltas vs the last recorded round (so regressions fail
-    loudly — VERDICT r3 weak item 3)."""
+    """fps deltas vs the last recorded round, plus a REGRESSIONS flag for
+    any cell >10% below its previous value (VERDICT r4 item 2: r4 shipped
+    a 3x 720p decode regression that the delta field recorded silently).
+    A populated "regressions" list is a release blocker for the round."""
     import glob
     import pathlib
     here = pathlib.Path(__file__).parent
@@ -142,11 +144,16 @@ def _delta_vs_prev(matrix):
     except Exception:                                   # noqa: BLE001
         return None
     delta = {"prev": pathlib.Path(prevs[-1]).name}
+    regressions = []
     for name, cur in matrix.items():
         p = pm.get(name, {})
         for k in ("encode_fps", "decode_fps"):
             if isinstance(cur, dict) and k in cur and k in p and p[k]:
                 delta[f"{name}_{k}"] = round(cur[k] - p[k], 2)
+                if cur[k] < 0.9 * p[k]:
+                    regressions.append(
+                        f"{name}_{k}: {cur[k]} < 90% of prev {p[k]}")
+    delta["regressions"] = regressions
     return delta
 
 
