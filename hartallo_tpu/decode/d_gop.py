@@ -88,9 +88,15 @@ def _field(packed, name, gw, gh):
 
 
 def ring_shapes(gw: int, gh: int, S: int):
+    """DPB ring shapes, over-allocated (+32 rows, width rounded to 128
+    plus 128) so the Pallas fast path can DMA whole slots and keep its
+    aligned (rows, 256) MC window loads in bounds; the XLA path indexes
+    with explicit strides and ignores the tail."""
     Hp, Wp = gh * 16 + 2 * PAD, gw * 16 + 2 * PAD
     Hc, Wc = gh * 8 + 2 * PAD, gw * 8 + 2 * PAD
-    return (S, 4, Hp, Wp), (S, Hc, Wc), (S, Hc, Wc)
+    rnd = lambda n: ((n + 127) // 128) * 128 + 128        # noqa: E731
+    return ((S, 4, Hp + 32, rnd(Wp)), (S, Hc + 32, rnd(Wc)),
+            (S, Hc + 32, rnd(Wc)))
 
 
 @partial(jax.jit, static_argnames=("gw", "gh", "chroma_qp_off"))
@@ -206,11 +212,20 @@ def decode_gop(packed, write_slot, has_intra, ringY, ringU, ringV,
         out = jnp.concatenate([y2, uv], axis=0).astype(jnp.uint8)
 
         hp = halfpel_planes(jnp.pad(y2, PAD, mode="edge"))
-        rY = jax.lax.dynamic_update_slice(rY, hp[None], (wslot, 0, 0, 0))
+        hp = jnp.pad(hp, ((0, 0), (0, rY.shape[2] - hp.shape[1]),
+                          (0, rY.shape[3] - hp.shape[2])))
+        up = jnp.pad(u2, PAD, mode="edge")
+        up = jnp.pad(up, ((0, rU.shape[1] - up.shape[0]),
+                          (0, rU.shape[2] - up.shape[1])))
+        vp = jnp.pad(v2, PAD, mode="edge")
+        vp = jnp.pad(vp, ((0, rV.shape[1] - vp.shape[0]),
+                          (0, rV.shape[2] - vp.shape[1])))
+        rY = jax.lax.dynamic_update_slice(
+            rY, hp[None].astype(rY.dtype), (wslot, 0, 0, 0))
         rU = jax.lax.dynamic_update_slice(
-            rU, jnp.pad(u2, PAD, mode="edge")[None], (wslot, 0, 0))
+            rU, up[None].astype(rU.dtype), (wslot, 0, 0))
         rV = jax.lax.dynamic_update_slice(
-            rV, jnp.pad(v2, PAD, mode="edge")[None], (wslot, 0, 0))
+            rV, vp[None].astype(rV.dtype), (wslot, 0, 0))
         return (rY, rU, rV), out
 
     (ringY, ringU, ringV), outs = jax.lax.scan(

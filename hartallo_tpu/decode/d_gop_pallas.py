@@ -1,0 +1,742 @@
+"""Whole-GOP Pallas decode: MC + residual + deblock + half-pel ring update
+for a batch of all-inter P pictures in ONE Mosaic kernel (grid over frames).
+
+This is the round-5 answer to the decode-throughput gap: the XLA GOP scan
+paid ~23 ns/element for gather-based MC, ~0.5 us/op scan overhead on the
+wavefronts, and uploaded ~0.4 MB/frame of mostly-zero coefficients over a
+~25 MB/s tunnel.  Here:
+
+- the host uploads a compact payload (``d_pool``: quadrant MVs + sparse
+  spatial-domain residual blocks);
+- an XLA prepass derives per-quadrant MC window words and per-diagonal
+  deblock parameters (vector math, no big gathers);
+- ONE ``pallas_call`` with ``grid=(K,)`` decodes the whole batch.  Grid
+  steps run sequentially on TPU, so the DPB ring (HBM, uint8 [G,b,h,j]
+  half-pel stacks) carries across frames inside the kernel; the
+  referenced slot is DMA'd into a VMEM cache, quarter-pel MC is two
+  aligned uint8 window loads + dynamic in-register rolls per 8x8
+  quadrant, residuals are sparse read-modify-write blends, deblocking
+  runs the slope-1 V-then-H wavefront (the bit-exact schedule of
+  ``ops/deblock_pallas.py``) on VMEM-resident skewed tiles, and the
+  half-pel planes of the new reconstruction are computed in-kernel and
+  DMA'd back to the ring.
+
+Alignment rules this design is built around (probed on the real Mosaic
+backend): dynamic vector loads/stores need sublane offsets that are
+multiples of 8 and lane offsets that are multiples of 128; arbitrary
+offsets are reached with aligned windows + ``pltpu.roll`` by a *positive*
+dynamic amount; all control scalars live in SMEM (scalar prefetch).
+
+Reference parity: per-picture decode driver ``hl_codec_264_decode_avc.c``
+(MV pass -> inter pred -> deblock), interpolation
+``hl_codec_264_interpol.c`` (the [G,b,h,j] stacks hold the same b/h/j
+values), deblocking ``hl_codec_264_deblock.c`` 8.7.2.3/8.7.2.4.
+I/intra-bearing pictures take the existing XLA paths (``d_gop.py``).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hartallo_tpu.core.tables import (DEBLOCK_ALPHA, DEBLOCK_BETA,
+                                      DEBLOCK_TC0, QP_SCALE_CHROMA)
+from hartallo_tpu.ops.deblock_pallas import _filter_chroma, _filter_luma
+from hartallo_tpu.ops.wide import _QPT, compute_bs_grids
+
+PAD = 32
+
+_J_QPC = jnp.asarray(QP_SCALE_CHROMA)
+_J_ALPHA = jnp.asarray(DEBLOCK_ALPHA)
+_J_BETA = jnp.asarray(DEBLOCK_BETA)
+_J_TC0 = jnp.asarray(np.concatenate(
+    [np.zeros((52, 1), np.int32), DEBLOCK_TC0], axis=1))   # [idxA][bs0..3]
+
+# aux layout per (diagonal, slot): int16
+# [a_e0v, b_e0v, a_e0h, b_e0h, a_i, b_i,
+#  ca_e0v, cb_e0v, ca_e0h, cb_e0h, ca_i, cb_i]   (0..11)
+# [t_e0v(3), t_e0h(3), t_i(3), ct_e0v(3), ct_e0h(3), ct_i(3)] (12..29)
+# [bs_v(4e x 4seg), bs_h(4e x 4seg)]             (30..61)
+_AUX_BS = 30
+NAUX = 62
+
+SW = 8               # sc_mb words per MB (4 luma + 4 chroma quads)
+SF = 8               # sc_frame words per frame
+
+
+def geom(gw: int, gh: int):
+    D = gw + gh - 1
+    KD = gh
+    KDL = KD * 16
+    KCL = KD * 8
+    pad = lambda n: (max((n - 1) // 128, 0) * 128 + 256)  # noqa: E731
+    Hp = gh * 16 + 2 * PAD
+    Wp = gw * 16 + 2 * PAD
+    Hcp = gh * 8 + 2 * PAD
+    Wcp = gw * 8 + 2 * PAD
+    # ring slots are over-allocated so every kernel DMA moves a whole
+    # slot (Mosaic memref slices need 128-aligned lane sizes) and every
+    # aligned (rows, 256) MC window load stays in bounds
+    rnd = lambda n: ((n + 127) // 128) * 128 + 128        # noqa: E731
+    return dict(D=D, D2=D + 2, KD=KD, KDL=KDL, KCL=KCL,
+                KDLp=pad(KDL), KCLp=pad(KCL),
+                H=gh * 16, W=gw * 16, Hp=Hp, Wp=Wp,
+                Hc=gh * 8, Wc=gw * 8, Hcp=Hcp, Wcp=Wcp,
+                Hrp=Hp + 32, Wrp=rnd(Wp),
+                Hcrp=Hcp + 32, Wcrp=rnd(Wcp))
+
+
+# ---------------------------------------------------------------------------
+# XLA prepass
+# ---------------------------------------------------------------------------
+
+def _shear(a: jnp.ndarray, gw: int, gh: int) -> jnp.ndarray:
+    """(gh, gw, ...) -> (D, gh, ...) with out[d, k] = in[k, d - k]
+    (junk where invalid), gather-free via pad + reshape."""
+    W2 = gw + gh                       # row stride after pad
+    rest = a.shape[2:]
+    p = jnp.pad(a, [(0, 0), (0, W2 - gw)] + [(0, 0)] * len(rest))
+    flat = p.reshape((gh * W2,) + rest)
+    sh = flat[:gh * (W2 - 1)].reshape((gh, W2 - 1) + rest)
+    return jnp.swapaxes(sh, 0, 1)      # (D, gh, ...)
+
+
+def _mc_words(ctrl, gw: int, gh: int):
+    """ctrl (K, n, 12) int32 -> (K, n, 8) int32 MC window words."""
+    K, n, _ = ctrl.shape
+    W, H = gw * 16, gh * 16
+    Wc, Hc = gw * 8, gh * 8
+    mvx = ctrl[:, :, 0:8:2]                                # (K, n, 4)
+    mvy = ctrl[:, :, 1:8:2]
+    mb = jnp.arange(n, dtype=jnp.int32)
+    mx = (mb % gw)[None, :, None]
+    my = (mb // gw)[None, :, None]
+    qx = jnp.asarray([0, 1, 0, 1], jnp.int32)[None, None, :]
+    qy = jnp.asarray([0, 0, 1, 1], jnp.int32)[None, None, :]
+    bx = mx * 16 + qx * 8
+    by = my * 16 + qy * 8
+    xi = jnp.clip(bx + (mvx >> 2), -(PAD - 2), W + PAD - 7)
+    yi = jnp.clip(by + (mvy >> 2), -(PAD - 2), H + PAD - 7)
+    case = (mvy & 3) * 4 + (mvx & 3)
+    q = jnp.asarray(_QPT)[case]                            # (K, n, 4, 6)
+    wl = ((yi + PAD) << 20) | ((xi + PAD) << 8) | \
+        (q[..., 0] << 6) | (q[..., 3] << 4) | \
+        (q[..., 2] << 3) | (q[..., 1] << 2) | \
+        (q[..., 5] << 1) | q[..., 4]
+    cbx = mx * 8 + qx * 4
+    cby = my * 8 + qy * 4
+    cxi = jnp.clip(cbx + (mvx >> 3), -(PAD - 1), Wc + PAD - 4)
+    cyi = jnp.clip(cby + (mvy >> 3), -(PAD - 1), Hc + PAD - 4)
+    wc = ((cyi + PAD) << 17) | ((cxi + PAD) << 6) | \
+        ((mvy & 7) << 3) | (mvx & 7)
+    return jnp.concatenate([wl, wc], axis=-1)              # (K, n, 8)
+
+
+def _aux_arrays(ctrl, gw: int, gh: int, chroma_qp_off: int):
+    """ctrl (K, n, 12) int32 -> (K, D2, KD, NAUX) int16 deblock params."""
+    K, n, _ = ctrl.shape
+    g = geom(gw, gh)
+    qp = ctrl[:, :, 9].reshape(K, gh, gw)
+    offa = ((ctrl[:, :, 10] >> 4) & 15).reshape(K, gh, gw) - 6
+    offb = (ctrl[:, :, 10] & 15).reshape(K, gh, gw) - 6
+    flags = ctrl[:, :, 11].reshape(K, gh, gw)
+    fmb_v = (flags & 1) != 0
+    fmb_h = (flags & 2) != 0
+    fint = (flags & 4) != 0
+    nnzb = ctrl[:, :, 8].reshape(K, gh, gw) & 0xFFFF
+
+    # nnz per 4x4 grid (4gh, 4gw): bit b = block (b // 4, b % 4)
+    bit = (nnzb[..., None, None] >>
+           (jnp.arange(4)[:, None] * 4 + jnp.arange(4)[None, :])) & 1
+    nnz = bit.transpose(0, 1, 3, 2, 4).reshape(K, 4 * gh, 4 * gw)
+
+    # mv per 4x4 grid from quads
+    mvq = jnp.stack([ctrl[:, :, 0:8:2], ctrl[:, :, 1:8:2]], axis=-1) \
+        .reshape(K, gh, gw, 2, 2, 2)                       # (qy, qx, 2)
+    mv44 = jnp.repeat(jnp.repeat(mvq, 2, axis=3), 2, axis=4)
+    mvg = mv44.transpose(0, 1, 3, 2, 4, 5).reshape(K, 4 * gh, 4 * gw, 2)
+    refg = jnp.zeros((K, 4 * gh, 4 * gw), jnp.int32)       # one slot/frame
+    no_intra = jnp.zeros((K, gh, gw), bool)
+    bs_vg, bs_hg = compute_bs_grids(no_intra, nnz, mvg, refg,
+                                    fmb_v, fmb_h, fint)
+    bs_v = bs_vg.reshape(K, gh, 4, gw, 4).transpose(0, 1, 3, 4, 2)
+    bs_h = bs_hg.reshape(K, gh, 4, gw, 4).transpose(0, 1, 3, 2, 4)
+    # (K, gh, gw, 4 edges, 4 segs) each
+
+    qp_l = jnp.concatenate([qp[:, :, :1], qp[:, :, :-1]], axis=2)
+    qp_t = jnp.concatenate([qp[:, :1, :], qp[:, :-1, :]], axis=1)
+    qpc = _J_QPC[jnp.clip(qp + chroma_qp_off, 0, 51)]
+    qpc_l = jnp.concatenate([qpc[:, :, :1], qpc[:, :, :-1]], axis=2)
+    qpc_t = jnp.concatenate([qpc[:, :1, :], qpc[:, :-1, :]], axis=1)
+
+    def ab_t(qp_edge, qp_int):
+        ia = jnp.clip(qp_edge + offa, 0, 51)
+        ib = jnp.clip(qp_edge + offb, 0, 51)
+        return (_J_ALPHA[ia], _J_BETA[ib],
+                _J_TC0[ia[..., None], jnp.arange(1, 4)])   # (..., 3)
+
+    a_ev, b_ev, t_ev = ab_t((qp_l + qp + 1) >> 1, qp)
+    a_eh, b_eh, t_eh = ab_t((qp_t + qp + 1) >> 1, qp)
+    a_i, b_i, t_i = ab_t(qp, qp)
+    ca_ev, cb_ev, ct_ev = ab_t((qpc_l + qpc + 1) >> 1, qpc)
+    ca_eh, cb_eh, ct_eh = ab_t((qpc_t + qpc + 1) >> 1, qpc)
+    ca_i, cb_i, ct_i = ab_t(qpc, qpc)
+
+    ab = jnp.stack([a_ev, b_ev, a_eh, b_eh, a_i, b_i,
+                    ca_ev, cb_ev, ca_eh, cb_eh, ca_i, cb_i], axis=-1)
+    ts = jnp.concatenate([t_ev, t_eh, t_i, ct_ev, ct_eh, ct_i], axis=-1)
+    bs = jnp.concatenate([bs_v.reshape(K, gh, gw, 16),
+                          bs_h.reshape(K, gh, gw, 16)], axis=-1)
+    aux = jnp.concatenate([ab, ts, bs], axis=-1).astype(jnp.int16)
+    # shear to (K, D, KD, NAUX); zero invalid slots (bs -> 0 no-ops)
+    sh = jax.vmap(lambda a: _shear(a, gw, gh))(aux)
+    kk = jnp.arange(g["KD"])[None, :]
+    dd = jnp.arange(g["D"])[:, None]
+    valid = (dd - kk >= 0) & (dd - kk < gw)
+    sh = jnp.where(valid[None, :, :, None], sh, 0)
+    z = jnp.zeros((K, 1, g["KD"], NAUX), jnp.int16)
+    return jnp.concatenate([z, sh, z], axis=1)             # (K, D2, KD, ·)
+
+
+# ---------------------------------------------------------------------------
+# kernel helpers
+# ---------------------------------------------------------------------------
+
+def _win_roll(ref, y0, x0, rows):
+    """Aligned (rows, 256) int32 window of ``ref`` with the (possibly
+    unaligned) origin (y0, x0) rolled to (0, 0)."""
+    dy = jax.lax.rem(y0, 8)
+    dx = jax.lax.rem(x0, 128)
+    ya = pl.multiple_of(y0 - dy, 8)
+    xa = pl.multiple_of(x0 - dx, 128)
+    w = ref[pl.ds(ya, rows), pl.ds(xa, 256)].astype(jnp.int32)
+    w = pltpu.roll(w, rows - dy, 0)
+    return pltpu.roll(w, 256 - dx, 1)
+
+
+def _sel_shift(w, dy, dx, h, wd):
+    """w[dy:dy+h, dx:dx+wd] for scalar dy, dx in {0, 1} (static slices)."""
+    t = jax.lax.select(dy != 0, w[1:1 + h, :wd + 1], w[0:h, :wd + 1])
+    return jax.lax.select(dx != 0, t[:, 1:1 + wd], t[:, 0:wd])
+
+
+def _blend(dst_ref, row0, nrows, lane, val, vw):
+    """Overwrite-blend ``val`` (vh, vw int32, 0..255) into the uint8 ref
+    ``dst_ref`` at rows [row0, row0+vh) (row0 static or 8-aligned-safe:
+    rows are addressed via pl.ds(row0, nrows) by the caller passing
+    row0=0 and a pre-sliced ref) and dynamic lanes [lane, lane+vw)."""
+    vh = val.shape[0]
+    dL = jax.lax.rem(lane, 128)
+    La = pl.multiple_of(lane - dL, 128)
+    win = dst_ref[pl.ds(row0, nrows), pl.ds(La, 256)].astype(jnp.int32)
+    pv = jnp.pad(val, ((0, nrows - vh), (0, 256 - vw)))
+    pv = pltpu.roll(pv, dL, 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (nrows, 256), 1)
+    out = jnp.where((li >= dL) & (li < dL + vw), pv, win)
+    dst_ref[pl.ds(row0, nrows), pl.ds(La, 256)] = out.astype(jnp.uint8)
+
+
+def _blend_add_clip(dst_ref, nrows, row0, lane, r16):
+    """Sparse-residual RMW: dst = clip(dst + rec, 0, 255) on a 4x4 region
+    at (row0 scalar in {0,4,8,12}, lane scalar); rec arrives as the
+    (1, 16) row-major record r16 (Mosaic cannot concat lane-slices into a
+    (4,4), so the rows are padded into place individually)."""
+    dL = jax.lax.rem(lane, 128)
+    La = pl.multiple_of(lane - dL, 128)
+    win = dst_ref[pl.ds(0, nrows), pl.ds(La, 256)].astype(jnp.int32)
+    w = jnp.pad(r16, ((0, 0), (0, 240)))                   # (1, 256)
+    li = jax.lax.broadcasted_iota(jnp.int32, (nrows, 256), 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nrows, 256), 0)
+    lane_m = (li >= dL) & (li < dL + 4)
+    out = win
+    for j in range(4):
+        amt = jax.lax.rem(dL + (256 - 4 * j), 256)
+        rolled = pltpu.roll(w, amt, 1)
+        bj = jnp.broadcast_to(rolled, (nrows, 256))
+        m = lane_m & (ri == row0 + j)
+        out = jnp.where(m, jnp.clip(win + bj, 0, 255), out)
+    dst_ref[pl.ds(0, nrows), pl.ds(La, 256)] = out.astype(jnp.uint8)
+
+
+def _expand(block, rep):
+    """(KD, F) int32 -> (F, KD*rep): per-slot params broadcast to lanes.
+
+    Mosaic has no cheap sublane->lane broadcast reshape, but the MXU
+    does it exactly in f32 (all values here are <= 255 << 2^24)."""
+    KD, F = block.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (KD, KD * rep), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (KD, KD * rep), 1)
+    M = (li // rep == ri).astype(jnp.float32)
+    e = jax.lax.dot_general(block.astype(jnp.float32), M,
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return e.astype(jnp.int32)
+
+
+def _seg_select(E, row0, phase):
+    """Per-line bs from 4 expanded seg rows: line[l] = E[row0+ph(l), l]."""
+    return jnp.where(phase == 0, E[row0:row0 + 1],
+                     jnp.where(phase == 1, E[row0 + 1:row0 + 2],
+                               jnp.where(phase == 2, E[row0 + 2:row0 + 3],
+                                         E[row0 + 3:row0 + 4])))
+
+
+def _blocks_T(t, KD, n):
+    """Per-k-block (n x n) transpose of (n, KD*n): edge-major <-> row-major."""
+    return jnp.concatenate(
+        [t[:, k * n:(k + 1) * n].T for k in range(KD)], axis=1)
+
+
+def _stack(lines):
+    """Assemble n (1, L) lines into (n, L) via broadcasts + selects.
+
+    Mosaic's concat requires uniform lazy layout offsets across inputs;
+    lines that mix raw slices, roll outputs and filter outputs violate
+    that, while elementwise selects accept any mix (relayouts are
+    inserted automatically)."""
+    n = len(lines)
+    L = lines[0].shape[-1]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, L), 0)
+    acc = jnp.broadcast_to(lines[0], (n, L))
+    for c in range(1, n):
+        acc = jnp.where(ri == c, jnp.broadcast_to(lines[c], (n, L)), acc)
+    return acc
+
+
+def _t0_line(bs, t123):
+    """Per-line tc0 from bs line and the 3 per-MB TC0 scalars-as-lanes."""
+    return jnp.where(bs == 1, t123[0:1],
+                     jnp.where(bs == 2, t123[1:2],
+                               jnp.where(bs >= 3, t123[2:3], 0)))
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(gw, gh, K, nMB, NR):
+    g = geom(gw, gh)
+    D, KD = g["D"], g["KD"]
+    KDL, KCL, KDLp, KCLp = g["KDL"], g["KCL"], g["KDLp"], g["KCLp"]
+    H, W, Hp, Wp = g["H"], g["W"], g["Hp"], g["Wp"]
+    Hc, Wc, Hcp, Wcp = g["Hc"], g["Wc"], g["Hcp"], g["Wcp"]
+    Hrp, Wrp, Hcrp, Wcrp = g["Hrp"], g["Wrp"], g["Hcrp"], g["Wcrp"]
+
+    def kernel(sf_ref, smb_ref, stag_ref,              # scalar prefetch
+               rinY_ref, rinU_ref, rinV_ref, vals_ref, aux_ref,
+               routY_ref, routU_ref, routV_ref, out_ref,
+               wy_ref, wu_ref, wv_ref,                 # skewed work (u8)
+               cy_ref, cu_ref, cv_ref,                 # ref cache (u8)
+               py_ref, pu_ref, pv_ref,                 # natural planes
+               sem_ref):
+        k = pl.program_id(0)
+
+        # ---- frame 0: ring passthrough copy --------------------------
+        @pl.when(k == 0)
+        def _():
+            c0 = pltpu.make_async_copy(rinY_ref, routY_ref, sem_ref.at[0])
+            c1 = pltpu.make_async_copy(rinU_ref, routU_ref, sem_ref.at[1])
+            c2 = pltpu.make_async_copy(rinV_ref, routV_ref, sem_ref.at[2])
+            c0.start(); c1.start(); c2.start()
+            c0.wait(); c1.wait(); c2.wait()
+
+        wslot = sf_ref[k * SF + 0]
+        rslot = sf_ref[k * SF + 1]
+        nl = sf_ref[k * SF + 2]
+        nu = sf_ref[k * SF + 3]
+        nr = sf_ref[k * SF + 4]
+
+        # ---- fetch reference slot into the VMEM cache ----------------
+        cpy = pltpu.make_async_copy(routY_ref.at[rslot], cy_ref,
+                                    sem_ref.at[0])
+        cpu = pltpu.make_async_copy(routU_ref.at[rslot], cu_ref,
+                                    sem_ref.at[1])
+        cpv = pltpu.make_async_copy(routV_ref.at[rslot], cv_ref,
+                                    sem_ref.at[2])
+        cpy.start(); cpu.start(); cpv.start()
+        cpy.wait(); cpu.wait(); cpv.wait()
+
+        # ---- MC into skewed edge-major tiles -------------------------
+        def mc_mb(m, _):
+            my = m // gw
+            mx = jax.lax.rem(m, gw)
+            d = my + mx + 1
+            wb = (k * nMB + m) * SW
+            quads = []
+            for q in range(4):
+                w = smb_ref[wb + q]
+                d1x = w & 1
+                d1y = (w >> 1) & 1
+                d0x = (w >> 2) & 1
+                d0y = (w >> 3) & 1
+                p1 = (w >> 4) & 3
+                p0 = (w >> 6) & 3
+                x0 = (w >> 8) & 4095
+                y0 = w >> 20
+                wA = _win_roll(cy_ref.at[p0], y0, x0, 16)
+                wB = _win_roll(cy_ref.at[p1], y0, x0, 16)
+                A = _sel_shift(wA, d0y, d0x, 8, 8)
+                B = _sel_shift(wB, d1y, d1x, 8, 8)
+                quads.append((A + B + 1) >> 1)
+            pred = jnp.concatenate(
+                [jnp.concatenate([quads[0], quads[1]], axis=1),
+                 jnp.concatenate([quads[2], quads[3]], axis=1)], axis=0)
+            _blend(wy_ref.at[d], 0, 16, my * 16, pred.T, 16)
+
+            cq = []
+            for q in range(4):
+                w = smb_ref[wb + 4 + q]
+                fx = w & 7
+                fy = (w >> 3) & 7
+                cx0 = (w >> 6) & 2047
+                cy0 = w >> 17
+                rU = _win_roll(cu_ref, cy0, cx0, 16)
+                rV = _win_roll(cv_ref, cy0, cx0, 16)
+
+                def bil(r):
+                    A = r[0:4, 0:4]
+                    B = r[0:4, 1:5]
+                    C = r[1:5, 0:4]
+                    Dd = r[1:5, 1:5]
+                    return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B +
+                            (8 - fx) * fy * C + fx * fy * Dd + 32) >> 6
+                cq.append((bil(rU), bil(rV)))
+            for pi, wref in ((0, wu_ref), (1, wv_ref)):
+                cp_ = jnp.concatenate(
+                    [jnp.concatenate([cq[0][pi], cq[1][pi]], axis=1),
+                     jnp.concatenate([cq[2][pi], cq[3][pi]], axis=1)],
+                    axis=0)
+                _blend(wref.at[d], 0, 8, my * 8, cp_.T, 8)
+            return 0
+
+        jax.lax.fori_loop(0, nMB, mc_mb, 0)
+
+        # ---- sparse residual ----------------------------------------
+        def res_loop(lo, hi, wref, nrows):
+            def body(i, _):
+                tag = stag_ref[k * NR + i]
+                dd = tag >> 24
+                rx = (tag >> 18) & 63
+                lane = tag & 0x3FFF
+                gi = jax.lax.rem(i, 8)
+                ga = pl.multiple_of(i - gi, 8)
+                grp = vals_ref[0, pl.ds(ga, 8), :]
+                r16 = pltpu.roll(grp, 8 - gi, 0)[0:1, :]
+                _blend_add_clip(wref.at[dd], nrows, rx, lane, r16)
+                return 0
+            jax.lax.fori_loop(lo, hi, body, 0)
+
+        res_loop(0, nl, wy_ref, 16)
+        res_loop(nl, nu, wu_ref, 8)
+        res_loop(nu, nr, wv_ref, 8)
+
+        # ---- deblock wavefront (slope-1, V then H per diagonal) ------
+        def diag(s, _):
+            aux = aux_ref[0, s].astype(jnp.int32)           # (KD, NAUX)
+            E16 = _expand(aux[:, :_AUX_BS], 16)             # (30, KDL)
+            E8 = _expand(aux[:, :_AUX_BS], 8)               # (30, KCL)
+            Eb16 = _expand(aux[:, _AUX_BS:], 16)            # (32, KDL)
+            Eb8 = _expand(aux[:, _AUX_BS:], 8)              # (32, KCL)
+            li16 = jax.lax.broadcasted_iota(jnp.int32, (1, KDL), 1)
+            li8c = jax.lax.broadcasted_iota(jnp.int32, (1, KCL), 1)
+            ph16 = (li16 // 4) % 4
+            ph8 = (li8c // 2) % 4
+
+            # -------- luma ------------------------------------------
+            tc = wy_ref[s].astype(jnp.int32)                # (16, KDLp)
+            tp = wy_ref[s - 1].astype(jnp.int32)
+            cur = [tc[c:c + 1, :KDL] for c in range(16)]
+            prv = [tp[c:c + 1, :KDL] for c in range(16)]
+
+            for e in range(4):                              # V phase
+                if e == 0:
+                    a, b, tt = E16[0:1], E16[1:2], E16[12:15]
+                else:
+                    a, b, tt = E16[4:5], E16[5:6], E16[18:21]
+                bs_l = _seg_select(Eb16, 4 * e, ph16)
+                tc0 = _t0_line(bs_l, tt)
+                if e == 0:
+                    cols = [prv[12], prv[13], prv[14], prv[15],
+                            cur[0], cur[1], cur[2], cur[3]]
+                else:
+                    c0 = 4 * e - 4
+                    cols = [cur[c0 + i] for i in range(8)]
+                f = _filter_luma(*cols, bs_l, a, b, tc0)
+                if e == 0:
+                    prv[13], prv[14], prv[15] = f[0], f[1], f[2]
+                    cur[0], cur[1], cur[2] = f[3], f[4], f[5]
+                else:
+                    c0 = 4 * e - 4
+                    (cur[c0 + 1], cur[c0 + 2], cur[c0 + 3],
+                     cur[c0 + 4], cur[c0 + 5], cur[c0 + 6]) = f
+
+            def t16(lines):                 # edge-major <-> row-major
+                return _blocks_T(_stack(lines), KD, 16)
+            curr = t16(cur)
+            prvr = t16(prv)
+            topr = pltpu.roll(prvr, 16, 1)   # top MB: prev diag, k-1
+
+            curl = [curr[c:c + 1] for c in range(16)]
+            topl = [topr[c:c + 1] for c in range(16)]
+            for e in range(4):                              # H phase
+                if e == 0:
+                    a, b, tt = E16[2:3], E16[3:4], E16[15:18]
+                else:
+                    a, b, tt = E16[4:5], E16[5:6], E16[18:21]
+                bs_l = _seg_select(Eb16, 16 + 4 * e, ph16)
+                tc0 = _t0_line(bs_l, tt)
+                if e == 0:
+                    cols = [topl[12], topl[13], topl[14], topl[15],
+                            curl[0], curl[1], curl[2], curl[3]]
+                else:
+                    c0 = 4 * e - 4
+                    cols = [curl[c0 + i] for i in range(8)]
+                f = _filter_luma(*cols, bs_l, a, b, tc0)
+                if e == 0:
+                    topl[13], topl[14], topl[15] = f[0], f[1], f[2]
+                    curl[0], curl[1], curl[2] = f[3], f[4], f[5]
+                else:
+                    c0 = 4 * e - 4
+                    (curl[c0 + 1], curl[c0 + 2], curl[c0 + 3],
+                     curl[c0 + 4], curl[c0 + 5], curl[c0 + 6]) = f
+
+            li = jax.lax.broadcasted_iota(jnp.int32, (16, KDL), 1)
+            topm = _stack(topl)
+            prvr2 = jnp.where(li < KDL - 16,
+                              pltpu.roll(topm, KDL - 16, 1), prvr)
+            currm = _stack(curl)
+
+            def store16(s_, rows):
+                em = _blocks_T(rows, KD, 16)
+                full = jnp.pad(em, ((0, 0), (0, KDLp - KDL)))
+                wy_ref[s_] = full.astype(jnp.uint8)
+            store16(s - 1, prvr2)
+            store16(s, currm)
+
+            # -------- chroma ----------------------------------------
+            for wref in (wu_ref, wv_ref):
+                tc8 = wref[s].astype(jnp.int32)             # (8, KCLp)
+                tp8 = wref[s - 1].astype(jnp.int32)
+                cur8 = [tc8[c:c + 1, :KCL] for c in range(8)]
+                prv8 = [tp8[c:c + 1, :KCL] for c in range(8)]
+                for e in range(2):                          # V phase
+                    if e == 0:
+                        a, b, tt = E8[6:7], E8[7:8], E8[21:24]
+                    else:
+                        a, b, tt = E8[10:11], E8[11:12], E8[27:30]
+                    bs_l = _seg_select(Eb8, 8 * e, ph8)
+                    tc0 = _t0_line(bs_l, tt)
+                    if e == 0:
+                        cols = [prv8[6], prv8[7], cur8[0], cur8[1]]
+                    else:
+                        cols = [cur8[2], cur8[3], cur8[4], cur8[5]]
+                    p0n, q0n = _filter_chroma(*cols, bs_l, a, b, tc0)
+                    if e == 0:
+                        prv8[7], cur8[0] = p0n, q0n
+                    else:
+                        cur8[3], cur8[4] = p0n, q0n
+
+                def t8(lines):
+                    return _blocks_T(_stack(lines), KD, 8)
+                cur8r = t8(cur8)
+                prv8r = t8(prv8)
+                top8r = pltpu.roll(prv8r, 8, 1)
+                cur8l = [cur8r[c:c + 1] for c in range(8)]
+                top8l = [top8r[c:c + 1] for c in range(8)]
+                for e in range(2):                          # H phase
+                    if e == 0:
+                        a, b, tt = E8[8:9], E8[9:10], E8[24:27]
+                    else:
+                        a, b, tt = E8[10:11], E8[11:12], E8[27:30]
+                    bs_l = _seg_select(Eb8, 16 + 8 * e, ph8)
+                    tc0 = _t0_line(bs_l, tt)
+                    if e == 0:
+                        cols = [top8l[6], top8l[7], cur8l[0], cur8l[1]]
+                    else:
+                        cols = [cur8l[2], cur8l[3], cur8l[4], cur8l[5]]
+                    p0n, q0n = _filter_chroma(*cols, bs_l, a, b, tc0)
+                    if e == 0:
+                        top8l[7], cur8l[0] = p0n, q0n
+                    else:
+                        cur8l[3], cur8l[4] = p0n, q0n
+                li8 = jax.lax.broadcasted_iota(jnp.int32, (8, KCL), 1)
+                top8m = _stack(top8l)
+                prv8f = jnp.where(li8 < KCL - 8,
+                                  pltpu.roll(top8m, KCL - 8, 1), prv8r)
+                cur8f = _stack(cur8l)
+
+                def store8(s_, rows, wref=wref):
+                    em = _blocks_T(rows, KD, 8)
+                    full = jnp.pad(em, ((0, 0), (0, KCLp - KCL)))
+                    wref[s_] = full.astype(jnp.uint8)
+                store8(s - 1, prv8f)
+                store8(s, cur8f)
+            return 0
+
+        jax.lax.fori_loop(1, D + 1, diag, 0)
+
+        # ---- unskew into natural padded planes ----------------------
+        def unskew_mb(m, _):
+            my = m // gw
+            mx = jax.lax.rem(m, gw)
+            d = my + mx + 1
+            lane = my * 16
+            dL = jax.lax.rem(lane, 128)
+            La = pl.multiple_of(lane - dL, 128)
+            tile = wy_ref[d, pl.ds(0, 16), pl.ds(La, 256)] \
+                .astype(jnp.int32)
+            tile = pltpu.roll(tile, 256 - dL, 1)[:, :16].T   # (16r, 16c)
+            row0 = PAD + my * 16
+            _blend(py_ref.at[pl.ds(row0, 16)], 0, 16, PAD + mx * 16,
+                   tile, 16)
+            lane8 = my * 8
+            dL8 = jax.lax.rem(lane8, 128)
+            La8 = pl.multiple_of(lane8 - dL8, 128)
+            rc0 = PAD + my * 8
+            for wref, pref in ((wu_ref, pu_ref), (wv_ref, pv_ref)):
+                t8_ = wref[d, pl.ds(0, 8), pl.ds(La8, 256)] \
+                    .astype(jnp.int32)
+                t8_ = pltpu.roll(t8_, 256 - dL8, 1)[:, :8].T
+                _blend(pref.at[pl.ds(rc0, 8)], 0, 8, PAD + mx * 8,
+                       t8_, 8)
+            return 0
+
+        jax.lax.fori_loop(0, nMB, unskew_mb, 0)
+
+        # ---- edge pad + half-pel stack + ring write-back -------------
+        def pad_plane(pref, Hx, Wx):
+            v = pref[pl.ds(0, Hx + 2 * PAD), pl.ds(0, Wx + 2 * PAD)] \
+                .astype(jnp.int32)
+            c = v[PAD:PAD + Hx, PAD:PAD + Wx]
+            lft = jnp.broadcast_to(c[:, 0:1], (Hx, PAD))
+            rgt = jnp.broadcast_to(c[:, Wx - 1:Wx], (Hx, PAD))
+            rowx = jnp.concatenate([lft, c, rgt], axis=1)
+            top = jnp.broadcast_to(rowx[0:1, :], (PAD, Wx + 2 * PAD))
+            bot = jnp.broadcast_to(rowx[Hx - 1:Hx, :], (PAD, Wx + 2 * PAD))
+            return jnp.concatenate([top, rowx, bot], axis=0)
+
+        G = pad_plane(py_ref, H, W)
+        TAPS = (1, -5, 20, 20, -5, 1)
+
+        def conv_h(x):
+            xe = jnp.concatenate([x[:, 0:1], x[:, 0:1], x,
+                                  x[:, -1:], x[:, -1:], x[:, -1:]], axis=1)
+            return sum(t * xe[:, i:i + Wp] for i, t in enumerate(TAPS))
+
+        def conv_v(x):
+            xe = jnp.concatenate([x[0:1, :], x[0:1, :], x,
+                                  x[-1:, :], x[-1:, :], x[-1:, :]], axis=0)
+            return sum(t * xe[i:i + Hp, :] for i, t in enumerate(TAPS))
+
+        H1 = conv_h(G)
+        V1 = conv_v(G)
+        J1 = conv_v(H1)
+        cy_ref[0, pl.ds(0, Hp), pl.ds(0, Wp)] = G.astype(jnp.uint8)
+        cy_ref[1, pl.ds(0, Hp), pl.ds(0, Wp)] = \
+            jnp.clip((H1 + 16) >> 5, 0, 255).astype(jnp.uint8)
+        cy_ref[2, pl.ds(0, Hp), pl.ds(0, Wp)] = \
+            jnp.clip((V1 + 16) >> 5, 0, 255).astype(jnp.uint8)
+        cy_ref[3, pl.ds(0, Hp), pl.ds(0, Wp)] = \
+            jnp.clip((J1 + 512) >> 10, 0, 255).astype(jnp.uint8)
+        cu_ref[pl.ds(0, Hcp), pl.ds(0, Wcp)] = \
+            pad_plane(pu_ref, Hc, Wc).astype(jnp.uint8)
+        cv_ref[pl.ds(0, Hcp), pl.ds(0, Wcp)] = \
+            pad_plane(pv_ref, Hc, Wc).astype(jnp.uint8)
+
+        wb0 = pltpu.make_async_copy(cy_ref, routY_ref.at[wslot],
+                                    sem_ref.at[0])
+        wb1 = pltpu.make_async_copy(cu_ref, routU_ref.at[wslot],
+                                    sem_ref.at[1])
+        wb2 = pltpu.make_async_copy(cv_ref, routV_ref.at[wslot],
+                                    sem_ref.at[2])
+        wb0.start(); wb1.start(); wb2.start()
+
+        # ---- output block -------------------------------------------
+        yfull = py_ref[pl.ds(PAD, H), pl.ds(0, Wp)]
+        out_ref[0, pl.ds(0, H), :] = yfull[:, PAD:PAD + W]
+        uc = pu_ref[pl.ds(PAD, Hc), pl.ds(0, Wcp)][:, PAD:PAD + Wc]
+        vc = pv_ref[pl.ds(PAD, Hc), pl.ds(0, Wcp)][:, PAD:PAD + Wc]
+        out_ref[0, pl.ds(H, Hc), :] = jnp.concatenate([uc, vc], axis=1)
+        wb0.wait(); wb1.wait(); wb2.wait()
+
+    return kernel
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("gw", "gh", "chroma_qp_off",
+                                   "interpret"))
+def decode_gop_pl(ctrl, sf, tags, vals, ringY, ringU, ringV, *,
+                  gw: int, gh: int, chroma_qp_off: int,
+                  interpret: bool = False):
+    """Fast-path GOP decode.
+
+    ctrl (K, nMB, 12) int16; sf (K, SF) int32; tags (K, NR) int32;
+    vals (K, NR, 16) int16; rings uint8: ringY (S, 4, Hp, Wp),
+    ringU/V (S, Hcp, Wcp).
+
+    Returns (out (K, H + Hc, W) uint8, ringY', ringU', ringV')."""
+    K, nMB, _ = ctrl.shape
+    NR = tags.shape[1]
+    g = geom(gw, gh)
+
+    ctrl32 = ctrl.astype(jnp.int32)
+    smb = _mc_words(ctrl32, gw, gh).reshape(-1)
+    aux = _aux_arrays(ctrl32, gw, gh, chroma_qp_off)
+    vals32 = vals.astype(jnp.int32)
+
+    kernel = _make_kernel(gw, gh, K, nMB, NR)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # ringY in
+            pl.BlockSpec(memory_space=pltpu.ANY),          # ringU in
+            pl.BlockSpec(memory_space=pltpu.ANY),          # ringV in
+            pl.BlockSpec((1, NR, 16), lambda k, *s: (k, 0, 0),
+                         memory_space=pltpu.VMEM),         # vals (int32)
+            pl.BlockSpec((1, g["D2"], g["KD"], NAUX),
+                         lambda k, *s: (k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),         # aux
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),          # ringY out
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, g["H"] + g["Hc"], g["W"]),
+                         lambda k, *s: (k, 0, 0),
+                         memory_space=pltpu.VMEM),         # out frames
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g["D2"], 16, g["KDLp"]), jnp.uint8),
+            pltpu.VMEM((g["D2"], 8, g["KCLp"]), jnp.uint8),
+            pltpu.VMEM((g["D2"], 8, g["KCLp"]), jnp.uint8),
+            pltpu.VMEM((4, g["Hrp"], g["Wrp"]), jnp.uint8),
+            pltpu.VMEM((g["Hcrp"], g["Wcrp"]), jnp.uint8),
+            pltpu.VMEM((g["Hcrp"], g["Wcrp"]), jnp.uint8),
+            pltpu.VMEM((g["Hp"], ((g["Wp"] + 256 + 127) // 128) * 128),
+                       jnp.uint8),
+            pltpu.VMEM((g["Hcp"], ((g["Wcp"] + 256 + 127) // 128) * 128),
+                       jnp.uint8),
+            pltpu.VMEM((g["Hcp"], ((g["Wcp"] + 256 + 127) // 128) * 128),
+                       jnp.uint8),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct(ringY.shape, jnp.uint8),
+        jax.ShapeDtypeStruct(ringU.shape, jnp.uint8),
+        jax.ShapeDtypeStruct(ringV.shape, jnp.uint8),
+        jax.ShapeDtypeStruct((K, g["H"] + g["Hc"], g["W"]), jnp.uint8),
+    )
+    rY, rU, rV, out = pl.pallas_call(
+        kernel, out_shape=out_shapes, grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(sf.reshape(-1), smb, tags.reshape(-1),
+      ringY, ringU, ringV, vals32, aux)
+    return out, rY, rU, rV

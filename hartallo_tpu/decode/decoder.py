@@ -62,14 +62,34 @@ class _Layer:
 
 
 class _Job:
-    __slots__ = ("packed", "wslot", "has_intra", "out", "gw", "gh")
+    __slots__ = ("packed", "wslot", "has_intra", "out", "gw", "gh",
+                 "fast")
 
-    def __init__(self, packed, wslot, has_intra, gw, gh):
+    def __init__(self, packed, wslot, has_intra, gw, gh, fast=None):
         self.packed = packed
         self.wslot = wslot
         self.has_intra = has_intra
         self.out = None                  # (_BatchOut, row index)
         self.gw, self.gh = gw, gh
+        self.fast = fast                 # d_pool.FastFrame or None
+
+
+def _fast_mode() -> str:
+    """'' (off), 'on' (Mosaic on TPU), or 'interpret' (tests)."""
+    import os
+    env = os.environ.get("HARTALLO_FAST_DECODE")
+    if env == "0":
+        return ""
+    if env == "interpret":
+        return "interpret"
+    try:
+        import jax
+        platform = jax.devices()[0].platform
+    except Exception:                                    # noqa: BLE001
+        platform = "cpu"
+    if platform in ("tpu", "axon"):
+        return "on"
+    return ""
 
 
 class _BatchOut:
@@ -429,7 +449,19 @@ class Decoder:
             fr.slot = wslot
 
         has_intra = bool((~mb_is_inter).any())
-        job = _Job(packed, wslot, has_intra, gw, gh)
+        fast = None
+        if not has_intra and _fast_mode():
+            from hartallo_tpu.decode import d_pool
+            if d_pool.eligible(sd, wp_l) is None:
+                try:
+                    ff = d_pool.pack_fast(sd, fmb_v, fmb_h,
+                                          filter_internal, wslot,
+                                          pps.chroma_qp_index_offset)
+                    if ff.tags.shape[0] <= d_pool.nrmax(gw, gh):
+                        fast = ff
+                except OverflowError:
+                    fast = None
+        job = _Job(packed, wslot, has_intra, gw, gh, fast=fast)
         layer.jobs.append(job)
         slot = BatchSlot(self, layer, job)
         layer.last_recon = slot
@@ -472,8 +504,9 @@ class Decoder:
         return wp_l, wp_c
 
     def _flush(self, layer: _Layer) -> None:
-        """Dispatch all queued pictures of this layer as one device
-        program and record the (deferred) outputs."""
+        """Dispatch all queued pictures of this layer and record the
+        (deferred) outputs.  Consecutive fast-eligible pictures go to the
+        Pallas GOP kernel; the rest to the XLA GOP scan."""
         if not layer.jobs:
             return
         from hartallo_tpu.decode.d_gop import (decode_gop, ring_shapes)
@@ -482,34 +515,81 @@ class Decoder:
         gw, gh, S, cqoff = layer.ring_key
         if layer.ring is None:
             shY, shU, shV = ring_shapes(gw, gh, S)
-            layer.ring = (jnp.zeros(shY, jnp.int32),
-                          jnp.zeros(shU, jnp.int32),
-                          jnp.zeros(shV, jnp.int32))
+            layer.ring = (jnp.zeros(shY, jnp.uint8),
+                          jnp.zeros(shU, jnp.uint8),
+                          jnp.zeros(shV, jnp.uint8))
         ringY, ringU, ringV = layer.ring
         # sync reference frames decoded outside the batched path
         sync, layer.pending_sync = layer.pending_sync, []
         for f in sync:
             if f.slot >= 0 and f.planes_pad is not None:
                 hp = halfpel_planes(f.planes_pad[0].astype(jnp.int32))
-                ringY = ringY.at[f.slot].set(hp)
-                ringU = ringU.at[f.slot].set(
-                    f.planes_pad[1].astype(jnp.int32))
-                ringV = ringV.at[f.slot].set(
-                    f.planes_pad[2].astype(jnp.int32))
-        packed = np.stack([j.packed for j in jobs])
-        wslot = np.array([j.wslot for j in jobs], np.int32)
-        hintra = np.array([j.has_intra for j in jobs], bool)
-        outs, ringY, ringU, ringV = decode_gop(
-            jnp.asarray(packed), jnp.asarray(wslot), jnp.asarray(hintra),
-            ringY, ringU, ringV, gw=gw, gh=gh, chroma_qp_off=cqoff)
+                hp = jnp.pad(hp, ((0, 0),
+                                  (0, ringY.shape[2] - hp.shape[1]),
+                                  (0, ringY.shape[3] - hp.shape[2])))
+                up = f.planes_pad[1]
+                vp = f.planes_pad[2]
+                up = jnp.pad(up, ((0, ringU.shape[1] - up.shape[0]),
+                                  (0, ringU.shape[2] - up.shape[1])))
+                vp = jnp.pad(vp, ((0, ringV.shape[1] - vp.shape[0]),
+                                  (0, ringV.shape[2] - vp.shape[1])))
+                ringY = ringY.at[f.slot].set(hp.astype(ringY.dtype))
+                ringU = ringU.at[f.slot].set(up.astype(ringU.dtype))
+                ringV = ringV.at[f.slot].set(vp.astype(ringV.dtype))
+
+        # consecutive same-kind runs preserve decode order on the ring
+        runs = []
+        for j in jobs:
+            kind = j.fast is not None
+            if runs and runs[-1][0] == kind:
+                runs[-1][1].append(j)
+            else:
+                runs.append((kind, [j]))
+        for kind, run in runs:
+            if kind:
+                outs, ringY, ringU, ringV = self._flush_fast(
+                    run, ringY, ringU, ringV, gw, gh, cqoff)
+            else:
+                packed = np.stack([j.packed for j in run])
+                wslot = np.array([j.wslot for j in run], np.int32)
+                hintra = np.array([j.has_intra for j in run], bool)
+                outs, ringY, ringU, ringV = decode_gop(
+                    jnp.asarray(packed), jnp.asarray(wslot),
+                    jnp.asarray(hintra), ringY, ringU, ringV,
+                    gw=gw, gh=gh, chroma_qp_off=cqoff)
+            try:
+                outs.copy_to_host_async()
+            except Exception:                            # noqa: BLE001
+                pass
+            batch = _BatchOut(outs)
+            for i, j in enumerate(run):
+                j.out = (batch, i)
         layer.ring = (ringY, ringU, ringV)
-        try:
-            outs.copy_to_host_async()
-        except Exception:                                # noqa: BLE001
-            pass
-        batch = _BatchOut(outs)
-        for i, j in enumerate(jobs):
-            j.out = (batch, i)
+
+    def _flush_fast(self, run, ringY, ringU, ringV, gw, gh, cqoff):
+        from hartallo_tpu.decode import d_pool
+        from hartallo_tpu.decode.d_gop_pallas import SF, decode_gop_pl
+        K = len(run)
+        n = gh * gw
+        NR = d_pool.nrmax(gw, gh)
+        ctrl = np.stack([j.fast.ctrl for j in run])
+        sf = np.zeros((K, SF), np.int32)
+        tags = np.zeros((K, NR), np.int32)
+        vals = np.zeros((K, NR, 16), np.int16)
+        for i, j in enumerate(run):
+            ff = j.fast
+            m = ff.tags.shape[0]
+            sf[i, 0] = ff.wslot
+            sf[i, 1] = ff.ref_slot
+            sf[i, 2:5] = ff.counts
+            tags[i, :m] = ff.tags
+            vals[i, :m] = ff.vals
+        assert ctrl.shape == (K, n, d_pool.CTRL_WORDS)
+        return decode_gop_pl(
+            jnp.asarray(ctrl), jnp.asarray(sf), jnp.asarray(tags),
+            jnp.asarray(vals), ringY, ringU, ringV, gw=gw, gh=gh,
+            chroma_qp_off=cqoff,
+            interpret=_fast_mode() == "interpret")
 
     def _materialize_ring_frames(self, layer: _Layer) -> None:
         """Give every in-ring DPB frame concrete padded planes (for the
@@ -518,10 +598,15 @@ class Decoder:
             return
         self._flush(layer)
         ringY, ringU, ringV = layer.ring
+        gw, gh = layer.ring_key[0], layer.ring_key[1]
+        Hp, Wp = gh * 16 + 2 * PAD, gw * 16 + 2 * PAD
+        Hcp, Wcp = gh * 8 + 2 * PAD, gw * 8 + 2 * PAD
         for f in layer.dpb.frames:
             if f.in_ring and f.planes_pad is None and f.slot >= 0:
-                f.planes_pad = (ringY[f.slot, 0], ringU[f.slot],
-                                ringV[f.slot])
+                f.planes_pad = (
+                    ringY[f.slot, 0, :Hp, :Wp].astype(jnp.int32),
+                    ringU[f.slot, :Hcp, :Wcp].astype(jnp.int32),
+                    ringV[f.slot, :Hcp, :Wcp].astype(jnp.int32))
 
     # ------------------------------------------------------------------
     # General path (I_PCM / SVC I_BL)

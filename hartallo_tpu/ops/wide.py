@@ -128,8 +128,8 @@ def mc_luma_plane(stack: jnp.ndarray, slot: jnp.ndarray,
     taps fetched with flat ``jnp.take`` — the only gather orientation
     the TPU executes at full speed.
     """
-    S, _, Hp, Wp = stack.shape
-    H, W = Hp - 2 * PAD, Wp - 2 * PAD
+    S, _, Hp, Wp = stack.shape        # may be over-allocated (ring pad)
+    H, W = gh * 16, gw * 16
     flat = stack.reshape(-1)
     xi = bx + (mvx >> 2)
     yi = by + (mvy >> 2)
@@ -147,7 +147,7 @@ def mc_luma_plane(stack: jnp.ndarray, slot: jnp.ndarray,
         base = ((slot * 4 + p) * Hp + (yi + dy + PAD)) * Wp + \
             (xi + dx + PAD)                               # (N,)
         px = _expand(_to_grid(base, gw, gh), 4)           # (H, W)
-        return jnp.take(flat, px + yy + xx)
+        return jnp.take(flat, px + yy + xx).astype(jnp.int32)
 
     A = tap(cs[:, 0], cs[:, 1], cs[:, 2])
     B = tap(cs[:, 3], cs[:, 4], cs[:, 5])
@@ -164,8 +164,8 @@ def mc_chroma_plane(ring: jnp.ndarray, slot: jnp.ndarray,
                     wp3: jnp.ndarray, gw: int, gh: int) -> jnp.ndarray:
     """Eighth-pel bilinear MC producing the (H/2, W/2) chroma plane.
     Inputs as mc_luma_plane (chroma block coords); ring (S, Hp, Wp)."""
-    S, Hp, Wp = ring.shape
-    H, W = Hp - 2 * PAD, Wp - 2 * PAD
+    S, Hp, Wp = ring.shape            # may be over-allocated (ring pad)
+    H, W = gh * 8, gw * 8
     flat = ring.reshape(-1)
     xi = bx + (mvx >> 3)
     yi = by + (mvy >> 3)
@@ -177,10 +177,10 @@ def mc_chroma_plane(ring: jnp.ndarray, slot: jnp.ndarray,
     px = _expand(_to_grid(base, gw, gh), 2) + \
         (jnp.arange(2 * 4 * gh) % 2)[:, None] * Wp + \
         (jnp.arange(2 * 4 * gw) % 2)[None, :]
-    A = jnp.take(flat, px)
-    Bt = jnp.take(flat, px + 1)
-    C = jnp.take(flat, px + Wp)
-    D = jnp.take(flat, px + Wp + 1)
+    A = jnp.take(flat, px).astype(jnp.int32)
+    Bt = jnp.take(flat, px + 1).astype(jnp.int32)
+    C = jnp.take(flat, px + Wp).astype(jnp.int32)
+    D = jnp.take(flat, px + Wp + 1).astype(jnp.int32)
     dx = _expand(_to_grid(fx, gw, gh), 2)
     dy = _expand(_to_grid(fy, gw, gh), 2)
     pred = ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * Bt +
