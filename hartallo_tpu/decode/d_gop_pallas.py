@@ -43,18 +43,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hartallo_tpu.core.tables import (DEBLOCK_ALPHA, DEBLOCK_BETA,
-                                      DEBLOCK_TC0, QP_SCALE_CHROMA)
 from hartallo_tpu.ops.deblock_pallas import _filter_chroma, _filter_luma
-from hartallo_tpu.ops.wide import _QPT, compute_bs_grids
 
 PAD = 32
-
-_J_QPC = jnp.asarray(QP_SCALE_CHROMA)
-_J_ALPHA = jnp.asarray(DEBLOCK_ALPHA)
-_J_BETA = jnp.asarray(DEBLOCK_BETA)
-_J_TC0 = jnp.asarray(np.concatenate(
-    [np.zeros((52, 1), np.int32), DEBLOCK_TC0], axis=1))   # [idxA][bs0..3]
 
 # aux layout per (diagonal, slot): int16
 # [a_e0v, b_e0v, a_e0h, b_e0h, a_i, b_i,
@@ -88,118 +79,6 @@ def geom(gw: int, gh: int):
                 Hc=gh * 8, Wc=gw * 8, Hcp=Hcp, Wcp=Wcp,
                 Hrp=Hp + 32, Wrp=rnd(Wp),
                 Hcrp=Hcp + 32, Wcrp=rnd(Wcp))
-
-
-# ---------------------------------------------------------------------------
-# XLA prepass
-# ---------------------------------------------------------------------------
-
-def _shear(a: jnp.ndarray, gw: int, gh: int) -> jnp.ndarray:
-    """(gh, gw, ...) -> (D, gh, ...) with out[d, k] = in[k, d - k]
-    (junk where invalid), gather-free via pad + reshape."""
-    W2 = gw + gh                       # row stride after pad
-    rest = a.shape[2:]
-    p = jnp.pad(a, [(0, 0), (0, W2 - gw)] + [(0, 0)] * len(rest))
-    flat = p.reshape((gh * W2,) + rest)
-    sh = flat[:gh * (W2 - 1)].reshape((gh, W2 - 1) + rest)
-    return jnp.swapaxes(sh, 0, 1)      # (D, gh, ...)
-
-
-def _mc_words(ctrl, gw: int, gh: int):
-    """ctrl (K, n, 12) int32 -> (K, n, 8) int32 MC window words."""
-    K, n, _ = ctrl.shape
-    W, H = gw * 16, gh * 16
-    Wc, Hc = gw * 8, gh * 8
-    mvx = ctrl[:, :, 0:8:2]                                # (K, n, 4)
-    mvy = ctrl[:, :, 1:8:2]
-    mb = jnp.arange(n, dtype=jnp.int32)
-    mx = (mb % gw)[None, :, None]
-    my = (mb // gw)[None, :, None]
-    qx = jnp.asarray([0, 1, 0, 1], jnp.int32)[None, None, :]
-    qy = jnp.asarray([0, 0, 1, 1], jnp.int32)[None, None, :]
-    bx = mx * 16 + qx * 8
-    by = my * 16 + qy * 8
-    xi = jnp.clip(bx + (mvx >> 2), -(PAD - 2), W + PAD - 7)
-    yi = jnp.clip(by + (mvy >> 2), -(PAD - 2), H + PAD - 7)
-    case = (mvy & 3) * 4 + (mvx & 3)
-    q = jnp.asarray(_QPT)[case]                            # (K, n, 4, 6)
-    wl = ((yi + PAD) << 20) | ((xi + PAD) << 8) | \
-        (q[..., 0] << 6) | (q[..., 3] << 4) | \
-        (q[..., 2] << 3) | (q[..., 1] << 2) | \
-        (q[..., 5] << 1) | q[..., 4]
-    cbx = mx * 8 + qx * 4
-    cby = my * 8 + qy * 4
-    cxi = jnp.clip(cbx + (mvx >> 3), -(PAD - 1), Wc + PAD - 4)
-    cyi = jnp.clip(cby + (mvy >> 3), -(PAD - 1), Hc + PAD - 4)
-    wc = ((cyi + PAD) << 17) | ((cxi + PAD) << 6) | \
-        ((mvy & 7) << 3) | (mvx & 7)
-    return jnp.concatenate([wl, wc], axis=-1)              # (K, n, 8)
-
-
-def _aux_arrays(ctrl, gw: int, gh: int, chroma_qp_off: int):
-    """ctrl (K, n, 12) int32 -> (K, D2, KD, NAUX) int16 deblock params."""
-    K, n, _ = ctrl.shape
-    g = geom(gw, gh)
-    qp = ctrl[:, :, 9].reshape(K, gh, gw)
-    offa = ((ctrl[:, :, 10] >> 4) & 15).reshape(K, gh, gw) - 6
-    offb = (ctrl[:, :, 10] & 15).reshape(K, gh, gw) - 6
-    flags = ctrl[:, :, 11].reshape(K, gh, gw)
-    fmb_v = (flags & 1) != 0
-    fmb_h = (flags & 2) != 0
-    fint = (flags & 4) != 0
-    nnzb = ctrl[:, :, 8].reshape(K, gh, gw) & 0xFFFF
-
-    # nnz per 4x4 grid (4gh, 4gw): bit b = block (b // 4, b % 4)
-    bit = (nnzb[..., None, None] >>
-           (jnp.arange(4)[:, None] * 4 + jnp.arange(4)[None, :])) & 1
-    nnz = bit.transpose(0, 1, 3, 2, 4).reshape(K, 4 * gh, 4 * gw)
-
-    # mv per 4x4 grid from quads
-    mvq = jnp.stack([ctrl[:, :, 0:8:2], ctrl[:, :, 1:8:2]], axis=-1) \
-        .reshape(K, gh, gw, 2, 2, 2)                       # (qy, qx, 2)
-    mv44 = jnp.repeat(jnp.repeat(mvq, 2, axis=3), 2, axis=4)
-    mvg = mv44.transpose(0, 1, 3, 2, 4, 5).reshape(K, 4 * gh, 4 * gw, 2)
-    refg = jnp.zeros((K, 4 * gh, 4 * gw), jnp.int32)       # one slot/frame
-    no_intra = jnp.zeros((K, gh, gw), bool)
-    bs_vg, bs_hg = compute_bs_grids(no_intra, nnz, mvg, refg,
-                                    fmb_v, fmb_h, fint)
-    bs_v = bs_vg.reshape(K, gh, 4, gw, 4).transpose(0, 1, 3, 4, 2)
-    bs_h = bs_hg.reshape(K, gh, 4, gw, 4).transpose(0, 1, 3, 2, 4)
-    # (K, gh, gw, 4 edges, 4 segs) each
-
-    qp_l = jnp.concatenate([qp[:, :, :1], qp[:, :, :-1]], axis=2)
-    qp_t = jnp.concatenate([qp[:, :1, :], qp[:, :-1, :]], axis=1)
-    qpc = _J_QPC[jnp.clip(qp + chroma_qp_off, 0, 51)]
-    qpc_l = jnp.concatenate([qpc[:, :, :1], qpc[:, :, :-1]], axis=2)
-    qpc_t = jnp.concatenate([qpc[:, :1, :], qpc[:, :-1, :]], axis=1)
-
-    def ab_t(qp_edge, qp_int):
-        ia = jnp.clip(qp_edge + offa, 0, 51)
-        ib = jnp.clip(qp_edge + offb, 0, 51)
-        return (_J_ALPHA[ia], _J_BETA[ib],
-                _J_TC0[ia[..., None], jnp.arange(1, 4)])   # (..., 3)
-
-    a_ev, b_ev, t_ev = ab_t((qp_l + qp + 1) >> 1, qp)
-    a_eh, b_eh, t_eh = ab_t((qp_t + qp + 1) >> 1, qp)
-    a_i, b_i, t_i = ab_t(qp, qp)
-    ca_ev, cb_ev, ct_ev = ab_t((qpc_l + qpc + 1) >> 1, qpc)
-    ca_eh, cb_eh, ct_eh = ab_t((qpc_t + qpc + 1) >> 1, qpc)
-    ca_i, cb_i, ct_i = ab_t(qpc, qpc)
-
-    ab = jnp.stack([a_ev, b_ev, a_eh, b_eh, a_i, b_i,
-                    ca_ev, cb_ev, ca_eh, cb_eh, ca_i, cb_i], axis=-1)
-    ts = jnp.concatenate([t_ev, t_eh, t_i, ct_ev, ct_eh, ct_i], axis=-1)
-    bs = jnp.concatenate([bs_v.reshape(K, gh, gw, 16),
-                          bs_h.reshape(K, gh, gw, 16)], axis=-1)
-    aux = jnp.concatenate([ab, ts, bs], axis=-1).astype(jnp.int16)
-    # shear to (K, D, KD, NAUX); zero invalid slots (bs -> 0 no-ops)
-    sh = jax.vmap(lambda a: _shear(a, gw, gh))(aux)
-    kk = jnp.arange(g["KD"])[None, :]
-    dd = jnp.arange(g["D"])[:, None]
-    valid = (dd - kk >= 0) & (dd - kk < gw)
-    sh = jnp.where(valid[None, :, :, None], sh, 0)
-    z = jnp.zeros((K, 1, g["KD"], NAUX), jnp.int16)
-    return jnp.concatenate([z, sh, z], axis=1)             # (K, D2, KD, ·)
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +197,7 @@ def _t0_line(bs, t123):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(gw, gh, K, nMB, NR):
+def _make_kernel(gw, gh, K, nMB, NR, stages="mrdsoh"):
     g = geom(gw, gh)
     D, KD = g["D"], g["KD"]
     KDL, KCL, KDLp, KCLp = g["KDL"], g["KCL"], g["KDLp"], g["KCLp"]
@@ -413,7 +292,7 @@ def _make_kernel(gw, gh, K, nMB, NR):
                 _blend(wref.at[d], 0, 8, my * 8, cp_.T, 8)
             return 0
 
-        jax.lax.fori_loop(0, nMB, mc_mb, 0)
+        jax.lax.fori_loop(0, nMB if "m" in stages else 0, mc_mb, 0)
 
         # ---- sparse residual ----------------------------------------
         def res_loop(lo, hi, wref, nrows):
@@ -430,6 +309,8 @@ def _make_kernel(gw, gh, K, nMB, NR):
                 return 0
             jax.lax.fori_loop(lo, hi, body, 0)
 
+        if "r" not in stages:
+            nl = nu = nr = 0
         res_loop(0, nl, wy_ref, 16)
         res_loop(nl, nu, wu_ref, 8)
         res_loop(nu, nr, wv_ref, 8)
@@ -577,7 +458,7 @@ def _make_kernel(gw, gh, K, nMB, NR):
                 store8(s, cur8f)
             return 0
 
-        jax.lax.fori_loop(1, D + 1, diag, 0)
+        jax.lax.fori_loop(1, D + 1 if "d" in stages else 1, diag, 0)
 
         # ---- unskew into natural padded planes ----------------------
         def unskew_mb(m, _):
@@ -605,7 +486,7 @@ def _make_kernel(gw, gh, K, nMB, NR):
                        t8_, 8)
             return 0
 
-        jax.lax.fori_loop(0, nMB, unskew_mb, 0)
+        jax.lax.fori_loop(0, nMB if "s" in stages else 0, unskew_mb, 0)
 
         # ---- edge pad + half-pel stack + ring write-back -------------
         def pad_plane(pref, Hx, Wx):
@@ -632,9 +513,12 @@ def _make_kernel(gw, gh, K, nMB, NR):
                                   x[-1:, :], x[-1:, :], x[-1:, :]], axis=0)
             return sum(t * xe[i:i + Hp, :] for i, t in enumerate(TAPS))
 
-        H1 = conv_h(G)
-        V1 = conv_v(G)
-        J1 = conv_v(H1)
+        if "h" in stages:
+            H1 = conv_h(G)
+            V1 = conv_v(G)
+            J1 = conv_v(H1)
+        else:
+            H1 = V1 = J1 = G
         cy_ref[0, pl.ds(0, Hp), pl.ds(0, Wp)] = G.astype(jnp.uint8)
         cy_ref[1, pl.ds(0, Hp), pl.ds(0, Wp)] = \
             jnp.clip((H1 + 16) >> 5, 0, 255).astype(jnp.uint8)
@@ -669,27 +553,25 @@ def _make_kernel(gw, gh, K, nMB, NR):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("gw", "gh", "chroma_qp_off",
-                                   "interpret"))
-def decode_gop_pl(ctrl, sf, tags, vals, ringY, ringU, ringV, *,
+                                   "interpret", "stages"))
+def decode_gop_pl(smb, aux, sf, tags, vals, ringY, ringU, ringV, *,
                   gw: int, gh: int, chroma_qp_off: int,
-                  interpret: bool = False):
+                  interpret: bool = False, stages: str = "mrdsoh"):
     """Fast-path GOP decode.
 
-    ctrl (K, nMB, 12) int16; sf (K, SF) int32; tags (K, NR) int32;
-    vals (K, NR, 16) int16; rings uint8: ringY (S, 4, Hp, Wp),
-    ringU/V (S, Hcp, Wcp).
+    smb (K, nMB, 8) int32 MC window words; aux (K, D2, KD, NAUX) int16
+    deblock params (both host-precomputed, d_pool); sf (K, SF) int32;
+    tags (K, NR) int32; vals (K, NR, 16) int16; rings uint8 per
+    d_gop.ring_shapes.
 
     Returns (out (K, H + Hc, W) uint8, ringY', ringU', ringV')."""
-    K, nMB, _ = ctrl.shape
+    K, nMB, _ = smb.shape
     NR = tags.shape[1]
     g = geom(gw, gh)
-
-    ctrl32 = ctrl.astype(jnp.int32)
-    smb = _mc_words(ctrl32, gw, gh).reshape(-1)
-    aux = _aux_arrays(ctrl32, gw, gh, chroma_qp_off)
+    smb = smb.reshape(-1)
     vals32 = vals.astype(jnp.int32)
 
-    kernel = _make_kernel(gw, gh, K, nMB, NR)
+    kernel = _make_kernel(gw, gh, K, nMB, NR, stages=stages)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(K,),

@@ -28,7 +28,9 @@ from typing import Optional
 import numpy as np
 
 from hartallo_tpu.core import tables as T
-from hartallo_tpu.core.tables import LUMA_4x4_BLK_XY, QP_SCALE_CHROMA
+from hartallo_tpu.core.tables import (DEBLOCK_ALPHA, DEBLOCK_BETA,
+                                      DEBLOCK_TC0, LUMA_4x4_BLK_XY,
+                                      QP_SCALE_CHROMA)
 
 PAD = 32
 CTRL_WORDS = 12          # per-MB int16 words
@@ -87,7 +89,8 @@ def _chroma_dc_descale_np(c: np.ndarray, qp: np.ndarray) -> np.ndarray:
 
 @dataclass
 class FastFrame:
-    ctrl: np.ndarray          # (nMB, CTRL_WORDS) int16
+    smb: np.ndarray           # (nMB, 8) int32 MC window words
+    aux: np.ndarray           # (D2, KD, NAUX) int16 deblock params
     tags: np.ndarray          # (NR,) int32 packed skewed targets
     vals: np.ndarray          # (NR, 16) int16 transposed residual blocks
     counts: np.ndarray        # (3,) int32 [n_luma, n_u, n_v] prefix counts
@@ -95,9 +98,123 @@ class FastFrame:
     ref_slot: int
 
 
+# quarter-pel case table (= ops/wide._QPT): case -> (p0,dx0,dy0,p1,dx1,dy1)
+from hartallo_tpu.ops.wide import _QPT as _QPT_NP  # noqa: E402
+
+_TC0X = np.concatenate([np.zeros((52, 1), np.int64), DEBLOCK_TC0], axis=1)
+NAUX = 62
+
+
+def _mc_words_np(sd):
+    """Per-quadrant MC window words (the kernel's SMEM scalars).
+
+    Mirrors ops/wide.mc_luma_plane's per-block clamp semantics (host
+    ``eligible`` has verified the quadrant blocks clamp uniformly).
+    Reference: clamped index maps, hl_codec_264_interpol.c:74-160."""
+    gh, gw = sd.gh, sd.gw
+    n = gh * gw
+    W, H, Wc, Hc = gw * 16, gh * 16, gw * 8, gh * 8
+    mvq = sd.mv[:, :, ::2, ::2, :].reshape(n, 4, 2).astype(np.int64)
+    mvx, mvy = mvq[..., 0], mvq[..., 1]
+    mb = np.arange(n)
+    mx = (mb % gw)[:, None]
+    my = (mb // gw)[:, None]
+    qx = np.array([0, 1, 0, 1])[None, :]
+    qy = np.array([0, 0, 1, 1])[None, :]
+    xi = np.clip(mx * 16 + qx * 8 + (mvx >> 2), -(PAD - 2), W + PAD - 7)
+    yi = np.clip(my * 16 + qy * 8 + (mvy >> 2), -(PAD - 2), H + PAD - 7)
+    q = _QPT_NP[(mvy & 3) * 4 + (mvx & 3)]         # (n, 4, 6)
+    wl = ((yi + PAD) << 20) | ((xi + PAD) << 8) |         (q[..., 0] << 6) | (q[..., 3] << 4) | (q[..., 2] << 3) |         (q[..., 1] << 2) | (q[..., 5] << 1) | q[..., 4]
+    cxi = np.clip(mx * 8 + qx * 4 + (mvx >> 3), -(PAD - 1), Wc + PAD - 4)
+    cyi = np.clip(my * 8 + qy * 4 + (mvy >> 3), -(PAD - 1), Hc + PAD - 4)
+    wc = ((cyi + PAD) << 17) | ((cxi + PAD) << 6) |         ((mvy & 7) << 3) | (mvx & 7)
+    return np.concatenate([wl, wc], axis=-1).astype(np.int32)
+
+
+def _bs_grids_np(sd, fmb_v, fmb_h, fint):
+    """8.7.2.1 boundary strengths on the 4x4 grid (numpy port of
+    ops/wide.compute_bs_grids; all-inter fast-path subset: no intra)."""
+    gh, gw = sd.gh, sd.gw
+    nnz = sd.nnz_luma > 0                            # (4gh, 4gw)
+    mvg = sd.mv.transpose(0, 2, 1, 3, 4).reshape(4 * gh, 4 * gw, 2)
+    rep = lambda a: np.repeat(np.repeat(a, 4, 0), 4, 1)   # noqa: E731
+
+    def edge_bs(axis):
+        nz_pq = nnz | np.roll(nnz, 1, axis=axis)
+        mv_p = np.roll(mvg, 1, axis=axis)
+        mv_far = (np.abs(mvg - mv_p) >= 4).any(axis=-1)
+        return np.where(nz_pq, 2, np.where(mv_far, 1, 0))
+
+    bs_vg = edge_bs(1)
+    bs_hg = edge_bs(0)
+    internal_v = (np.arange(4 * gw) % 4 != 0)[None, :]
+    internal_h = (np.arange(4 * gh) % 4 != 0)[:, None]
+    fv, fh, fi = rep(fmb_v), rep(fmb_h), rep(fint)
+    bs_vg = np.where(np.where(internal_v, fi, fv), bs_vg, 0)
+    bs_hg = np.where(np.where(internal_h, fi, fh), bs_hg, 0)
+    return bs_vg, bs_hg
+
+
+def _shear_np(a, gw, gh):
+    """(gh, gw, ...) -> (D, gh, ...): out[d, k] = in[k, d - k]."""
+    D = gw + gh - 1
+    out = np.zeros((D, gh) + a.shape[2:], a.dtype)
+    for k in range(gh):
+        out[k:k + gw, k] = a[k]
+    return out
+
+
+def _aux_np(sd, fmb_v, fmb_h, fint, chroma_qp_off: int):
+    """(D2, KD, NAUX) int16 deblock params (kernel aux input).
+
+    Layout documented in d_gop_pallas.py; thresholds per 8.7.2.2."""
+    gh, gw = sd.gh, sd.gw
+    qp = sd.qp.astype(np.int64)
+    offa = sd.alpha_off.astype(np.int64)
+    offb = sd.beta_off.astype(np.int64)
+    bs_vg, bs_hg = _bs_grids_np(sd, fmb_v, fmb_h, fint)
+    bs_v = bs_vg.reshape(gh, 4, gw, 4).transpose(0, 2, 3, 1)
+    bs_h = bs_hg.reshape(gh, 4, gw, 4).transpose(0, 2, 1, 3)
+
+    qp_l = np.concatenate([qp[:, :1], qp[:, :-1]], axis=1)
+    qp_t = np.concatenate([qp[:1, :], qp[:-1, :]], axis=0)
+    qpc = QP_SCALE_CHROMA[np.clip(qp + chroma_qp_off, 0, 51)].astype(
+        np.int64)
+    qpc_l = np.concatenate([qpc[:, :1], qpc[:, :-1]], axis=1)
+    qpc_t = np.concatenate([qpc[:1, :], qpc[:-1, :]], axis=0)
+
+    def ab_t(qe):
+        ia = np.clip(qe + offa, 0, 51)
+        ib = np.clip(qe + offb, 0, 51)
+        return (DEBLOCK_ALPHA[ia], DEBLOCK_BETA[ib], _TC0X[ia][..., 1:4])
+
+    a_ev, b_ev, t_ev = ab_t((qp_l + qp + 1) >> 1)
+    a_eh, b_eh, t_eh = ab_t((qp_t + qp + 1) >> 1)
+    a_i, b_i, t_i = ab_t(qp)
+    ca_ev, cb_ev, ct_ev = ab_t((qpc_l + qpc + 1) >> 1)
+    ca_eh, cb_eh, ct_eh = ab_t((qpc_t + qpc + 1) >> 1)
+    ca_i, cb_i, ct_i = ab_t(qpc)
+    ab = np.stack([a_ev, b_ev, a_eh, b_eh, a_i, b_i,
+                   ca_ev, cb_ev, ca_eh, cb_eh, ca_i, cb_i], axis=-1)
+    ts = np.concatenate([t_ev, t_eh, t_i, ct_ev, ct_eh, ct_i], axis=-1)
+    bs = np.concatenate([bs_v.reshape(gh, gw, 16),
+                         bs_h.reshape(gh, gw, 16)], axis=-1)
+    aux = np.concatenate([ab, ts, bs], axis=-1).astype(np.int16)
+    sh = _shear_np(aux, gw, gh)
+    z = np.zeros((1, gh, NAUX), np.int16)
+    return np.concatenate([z, sh, z], axis=0)
+
+
 def nrmax(gw: int, gh: int) -> int:
     """Static residual-pool capacity per frame (compile-stable)."""
     return 2048 if gw * gh <= 1600 else 4096
+
+
+def kmax(gw: int, gh: int) -> int:
+    """Fast-batch frame cap so the kernel's scalar-prefetch arrays
+    (MC words + residual tags + frame words) fit the ~1 MB SMEM."""
+    per_frame = gw * gh * 8 * 4 + nrmax(gw, gh) * 4 + 32
+    return max(1, min(16, (850 * 1024) // per_frame))
 
 
 def eligible(sd, wp_l) -> Optional[str]:
@@ -167,21 +284,9 @@ def pack_fast(sd, fmb_v, fmb_h, fint, wslot: int,
     n = gh * gw
     K_geo = gh                                      # slope-1 diagonal slot
 
-    # ---- ctrl ----------------------------------------------------------
-    ctrl = np.zeros((n, CTRL_WORDS), np.int16)
-    # quadrant MVs: quad q=(qy,qx) at word 2*(2*qy+qx) (x then y)
-    mvq = sd.mv[:, :, ::2, ::2, :].reshape(n, 4, 2)
-    ctrl[:, 0:8:2] = mvq[:, :, 0].astype(np.int16)
-    ctrl[:, 1:8:2] = mvq[:, :, 1].astype(np.int16)
-    nnz_mb = (sd.nnz_luma.reshape(gh, 4, gw, 4).transpose(0, 2, 1, 3)
-              .reshape(n, 16) > 0)
-    ctrl[:, 8] = (nnz_mb << np.arange(16)).sum(1).astype(np.uint16) \
-        .astype(np.int16)
-    ctrl[:, 9] = sd.qp.reshape(n)
-    ctrl[:, 10] = (((sd.alpha_off.astype(np.int16) + 6) << 4) |
-                   (sd.beta_off.astype(np.int16) + 6)).reshape(n)
-    ctrl[:, 11] = (fmb_v.reshape(n) * 1 + fmb_h.reshape(n) * 2 +
-                   fint.reshape(n) * 4).astype(np.int16)
+    # ---- device control payloads --------------------------------------
+    smb = _mc_words_np(sd)
+    aux = _aux_np(sd, fmb_v, fmb_h, fint, chroma_qp_off)
 
     # ---- residual pool -------------------------------------------------
     qp = sd.qp.reshape(n).astype(np.int32)
@@ -248,5 +353,6 @@ def pack_fast(sd, fmb_v, fmb_h, fint, wslot: int,
         np.zeros((0, 16), np.int16)
     counts = np.array([lm.size, lm.size + int(u_sel.sum()),
                        lm.size + cm.size], np.int32)
-    return FastFrame(ctrl=ctrl, tags=tags, vals=vals, counts=counts,
-                     wslot=int(wslot), ref_slot=int(sd.ref_idx.flat[0]))
+    return FastFrame(smb=smb, aux=aux, tags=tags, vals=vals,
+                     counts=counts, wslot=int(wslot),
+                     ref_slot=int(sd.ref_idx.flat[0]))

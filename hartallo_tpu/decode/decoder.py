@@ -545,6 +545,11 @@ class Decoder:
                 runs[-1][1].append(j)
             else:
                 runs.append((kind, [j]))
+        from hartallo_tpu.decode import d_pool
+        km = d_pool.kmax(gw, gh)
+        runs = [(kind, run[i:i + km] if kind else run)
+                for kind, run in runs
+                for i in (range(0, len(run), km) if kind else (0,))]
         for kind, run in runs:
             if kind:
                 outs, ringY, ringU, ringV = self._flush_fast(
@@ -570,9 +575,9 @@ class Decoder:
         from hartallo_tpu.decode import d_pool
         from hartallo_tpu.decode.d_gop_pallas import SF, decode_gop_pl
         K = len(run)
-        n = gh * gw
         NR = d_pool.nrmax(gw, gh)
-        ctrl = np.stack([j.fast.ctrl for j in run])
+        smb = np.stack([j.fast.smb for j in run])
+        aux = np.stack([j.fast.aux for j in run])
         sf = np.zeros((K, SF), np.int32)
         tags = np.zeros((K, NR), np.int32)
         vals = np.zeros((K, NR, 16), np.int16)
@@ -584,11 +589,10 @@ class Decoder:
             sf[i, 2:5] = ff.counts
             tags[i, :m] = ff.tags
             vals[i, :m] = ff.vals
-        assert ctrl.shape == (K, n, d_pool.CTRL_WORDS)
         return decode_gop_pl(
-            jnp.asarray(ctrl), jnp.asarray(sf), jnp.asarray(tags),
-            jnp.asarray(vals), ringY, ringU, ringV, gw=gw, gh=gh,
-            chroma_qp_off=cqoff,
+            jnp.asarray(smb), jnp.asarray(aux), jnp.asarray(sf),
+            jnp.asarray(tags), jnp.asarray(vals), ringY, ringU, ringV,
+            gw=gw, gh=gh, chroma_qp_off=cqoff,
             interpret=_fast_mode() == "interpret")
 
     def _materialize_ring_frames(self, layer: _Layer) -> None:
