@@ -38,6 +38,8 @@ MAX_RES = 16000          # |residual| bound for int16 work planes
 
 _BLK_X = LUMA_4x4_BLK_XY[:, 0].astype(np.int64)      # pixel offsets in MB
 _BLK_Y = LUMA_4x4_BLK_XY[:, 1].astype(np.int64)
+# blkIdx -> raster 4x4 position (for the Intra16x16 DC scatter)
+_BLK_RASTER_OF = ((_BLK_Y // 4) * 4 + _BLK_X // 4).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -69,6 +71,29 @@ def _idct_np(d: np.ndarray) -> np.ndarray:
     return (h + 32) >> 6
 
 
+def _hadamard4_np(x):
+    x0, x1, x2, x3 = x[..., 0, :], x[..., 1, :], x[..., 2, :], x[..., 3, :]
+    a0, a1 = x0 + x1, x0 - x1
+    b0, b1 = x2 + x3, x2 - x3
+    t = np.stack([a0 + b0, a0 - b0, a1 - b1, a1 + b1], axis=-2)
+    t0, t1, t2, t3 = t[..., 0], t[..., 1], t[..., 2], t[..., 3]
+    c0, c1 = t0 + t1, t0 - t1
+    d0, d1 = t2 + t3, t2 - t3
+    return np.stack([c0 + d0, c0 - d0, c1 - d1, c1 + d1], axis=-1)
+
+
+def _luma_dc_descale_np(c: np.ndarray, qp: np.ndarray) -> np.ndarray:
+    """8.5.10 (Intra16x16 luma DC); c (...,4,4) int32, qp (...,)."""
+    f = _hadamard4_np(c.astype(np.int32))
+    qp = qp.astype(np.int32)
+    scale = (16 * T.QUANT_V[qp % 6, 0, 0])[..., None, None]
+    qdiv = (qp // 6)[..., None, None]
+    hi = (f * scale) << np.maximum(qdiv - 6, 0)
+    lo = (f * scale + (1 << np.maximum(5 - qdiv, 0))) >> \
+        np.maximum(6 - qdiv, 0)
+    return np.where(qp[..., None, None] >= 36, hi, lo)
+
+
 def _chroma_dc_descale_np(c: np.ndarray, qp: np.ndarray) -> np.ndarray:
     """8.5.11 (4:2:0); c (...,2,2) int32, qp (...,)."""
     c = c.astype(np.int32)
@@ -96,6 +121,8 @@ class FastFrame:
     counts: np.ndarray        # (3,) int32 [n_luma, n_u, n_v] prefix counts
     wslot: int
     ref_slot: int
+    ilist: np.ndarray = None  # (nI, 4) int32 intra MB list (raster order)
+    ivals: np.ndarray = None  # (nI, 24, 16) int16 dense intra residual
 
 
 # quarter-pel case table (= ops/wide._QPT): case -> (p0,dx0,dy0,p1,dx1,dy1)
@@ -133,22 +160,28 @@ def _mc_words_np(sd):
 
 def _bs_grids_np(sd, fmb_v, fmb_h, fint):
     """8.7.2.1 boundary strengths on the 4x4 grid (numpy port of
-    ops/wide.compute_bs_grids; all-inter fast-path subset: no intra)."""
+    ops/wide.compute_bs_grids; single reference slot per frame, so the
+    ref-difference term never fires)."""
     gh, gw = sd.gh, sd.gw
     nnz = sd.nnz_luma > 0                            # (4gh, 4gw)
     mvg = sd.mv.transpose(0, 2, 1, 3, 4).reshape(4 * gh, 4 * gw, 2)
     rep = lambda a: np.repeat(np.repeat(a, 4, 0), 4, 1)   # noqa: E731
+    bi = rep(sd.mb_kind <= 2)                        # intra (incl. PCM)
 
     def edge_bs(axis):
+        intra_pq = bi | np.roll(bi, 1, axis=axis)
         nz_pq = nnz | np.roll(nnz, 1, axis=axis)
         mv_p = np.roll(mvg, 1, axis=axis)
         mv_far = (np.abs(mvg - mv_p) >= 4).any(axis=-1)
-        return np.where(nz_pq, 2, np.where(mv_far, 1, 0))
+        return np.where(intra_pq, 4,
+                        np.where(nz_pq, 2, np.where(mv_far, 1, 0)))
 
     bs_vg = edge_bs(1)
     bs_hg = edge_bs(0)
     internal_v = (np.arange(4 * gw) % 4 != 0)[None, :]
     internal_h = (np.arange(4 * gh) % 4 != 0)[:, None]
+    bs_vg = np.where(internal_v & (bs_vg == 4), 3, bs_vg)
+    bs_hg = np.where(internal_h & (bs_hg == 4), 3, bs_hg)
     fv, fh, fi = rep(fmb_v), rep(fmb_h), rep(fint)
     bs_vg = np.where(np.where(internal_v, fi, fv), bs_vg, 0)
     bs_hg = np.where(np.where(internal_h, fi, fh), bs_hg, 0)
@@ -210,10 +243,18 @@ def nrmax(gw: int, gh: int) -> int:
     return 2048 if gw * gh <= 1600 else 4096
 
 
+def nimax(gw: int, gh: int) -> int:
+    """Static intra-MB list capacity per frame (compile-stable).  At CIF
+    and below this covers whole I pictures; at HD only intra-in-P."""
+    return 512 if gw * gh <= 1600 else 768
+
+
 def kmax(gw: int, gh: int) -> int:
     """Fast-batch frame cap so the kernel's scalar-prefetch arrays
-    (MC words + residual tags + frame words) fit the ~1 MB SMEM."""
-    per_frame = gw * gh * 8 * 4 + nrmax(gw, gh) * 4 + 32
+    (MC words + residual tags + intra list + frame words) fit the
+    ~1 MB SMEM."""
+    per_frame = gw * gh * 8 * 4 + nrmax(gw, gh) * 4 + \
+        nimax(gw, gh) * 16 + 32
     return max(1, min(16, (850 * 1024) // per_frame))
 
 
@@ -226,8 +267,10 @@ def eligible(sd, wp_l) -> Optional[str]:
     the int16 work-plane budget.
     """
     kind = sd.mb_kind
-    if not ((kind >= 3) & (kind != 8)).all():
-        return "intra/IBL macroblocks"
+    if ((kind < 0) | (kind == 2) | (kind == 8)).any():
+        return "PCM/IBL macroblocks"
+    if int((kind <= 1).sum()) > nimax(sd.gw, sd.gh):
+        return "too many intra macroblocks for the SMEM list"
     if wp_l is not None:
         return "weighted prediction"
     if sd.gw * 16 > 1280 or sd.gh * 16 > 768:
@@ -273,40 +316,40 @@ def eligible(sd, wp_l) -> Optional[str]:
     return None
 
 
-def pack_fast(sd, fmb_v, fmb_h, fint, wslot: int,
-              chroma_qp_off: int) -> FastFrame:
+def pack_fast(sd, fmb_v, fmb_h, fint, wslot: int, chroma_qp_off: int,
+              al=None, at=None, atr=None) -> FastFrame:
     """Build the compact fast-path payload for one picture.
 
     Precondition: ``eligible`` returned None (sd.ref_idx is slot-mapped,
-    derive_mvs has run).
+    derive_mvs has run).  al/at/atr: intra neighbour availability masks
+    (gh, gw) bool; may be None for all-inter pictures.
     """
     gh, gw = sd.gh, sd.gw
     n = gh * gw
-    K_geo = gh                                      # slope-1 diagonal slot
 
     # ---- device control payloads --------------------------------------
     smb = _mc_words_np(sd)
     aux = _aux_np(sd, fmb_v, fmb_h, fint, chroma_qp_off)
 
-    # ---- residual pool -------------------------------------------------
+    # ---- residual pool (inter MBs; natural padded-plane coords) -------
     qp = sd.qp.reshape(n).astype(np.int32)
     qpc = QP_SCALE_CHROMA[np.clip(qp + chroma_qp_off, 0, 51)]
+    kind = sd.mb_kind.reshape(n)
+    is_intra = kind <= 2
 
-    # luma: blocks with any nonzero coeff
     lac = sd.luma_ac.reshape(n, 16, 4, 4)
-    lnz = lac.any(axis=(2, 3))                       # (n, 16)
+    lnz = lac.any(axis=(2, 3)) & ~is_intra[:, None]  # (n, 16)
     lm, lb = np.nonzero(lnz)
     r_l = _idct_np(_dequant_np(lac[lm, lb], qp[lm])) if lm.size else \
         np.zeros((0, 4, 4), np.int32)
 
-    # chroma: DC always descales into position 0; block nonzero if AC or
-    # its DC is nonzero
     cac = sd.chroma_ac.reshape(n, 2, 4, 4, 4)
     dcc = _chroma_dc_descale_np(
         sd.chroma_dc.reshape(n, 2, 2, 2),
         np.broadcast_to(qpc[:, None], (n, 2)))       # (n,2,2,2)
     dcc_blk = dcc.reshape(n, 2, 4)                   # raster == blk order
-    cnz = cac.any(axis=(3, 4)) | (dcc_blk != 0)      # (n,2,4)
+    cnz = (cac.any(axis=(3, 4)) | (dcc_blk != 0)) & \
+        ~is_intra[:, None, None]                     # (n,2,4)
     cm, cp, cb = np.nonzero(cnz)
     if cm.size:
         d_c = _dequant_np(cac[cm, cp, cb], qpc[cm])
@@ -315,44 +358,84 @@ def pack_fast(sd, fmb_v, fmb_h, fint, wslot: int,
     else:
         r_c = np.zeros((0, 4, 4), np.int32)
 
-    # magnitude guard for int16 work planes
+    # ---- intra pools ---------------------------------------------------
+    im = np.nonzero(is_intra)[0]                     # raster order
+    n_i = im.size
+    ilist = np.zeros((n_i, 4), np.int32)
+    ivals = np.zeros((n_i, 24, 16), np.int16)
+    if n_i:
+        if al is None:
+            al = np.zeros((gh, gw), bool)
+        if at is None:
+            at = np.zeros((gh, gw), bool)
+        if atr is None:
+            atr = np.zeros((gh, gw), bool)
+        i16 = (kind[im] == 1).astype(np.int64)
+        w = i16 | \
+            (np.clip(sd.i16_mode.reshape(n)[im], 0, 3).astype(np.int64)
+             << 1) | \
+            (np.clip(sd.chroma_mode.reshape(n)[im], 0, 3).astype(np.int64)
+             << 3) | \
+            (al.reshape(n)[im].astype(np.int64) << 5) | \
+            (at.reshape(n)[im].astype(np.int64) << 6) | \
+            (atr.reshape(n)[im].astype(np.int64) << 7)
+        m4 = np.clip(sd.i4_modes.reshape(n, 16)[im].astype(np.int64),
+                     0, 8)                            # (n_i, 16)
+        sh = np.arange(8) * 4
+        ilist[:, 0] = im
+        ilist[:, 1] = w
+        ilist[:, 2] = (m4[:, :8] << sh).sum(1)
+        ilist[:, 3] = (m4[:, 8:] << sh).sum(1)
+        # dense residual per intra MB: 16 luma blkIdx + 4 U + 4 V blocks
+        d_li = _dequant_np(lac[im], qp[im, None])     # (n_i,16,4,4)
+        dcd = _luma_dc_descale_np(
+            sd.luma_dc.reshape(n, 4, 4)[im], qp[im])  # (n_i,4,4) raster
+        dc_blk = dcd.reshape(n_i, 16)[:, _BLK_RASTER_OF]
+        use16 = (kind[im] == 1)[:, None]
+        d_li[..., 0, 0] = np.where(use16, dc_blk, d_li[..., 0, 0])
+        r_li = _idct_np(d_li)                          # (n_i,16,4,4)
+        d_ci = _dequant_np(cac[im].reshape(n_i, 8, 4, 4),
+                           qpc[im, None])
+        d_ci[..., 0, 0] = dcc_blk[im].reshape(n_i, 8)
+        r_ci = _idct_np(d_ci)                          # (n_i,8,4,4)
+        ivals[:, :16] = r_li.reshape(n_i, 16, 16)
+        ivals[:, 16:] = r_ci.reshape(n_i, 8, 16)
+
+    # magnitude guard for the clip(pred + res) int32 windows (int16 pool)
     mx = 0
-    if r_l.size:
-        mx = max(mx, int(np.abs(r_l).max()))
-    if r_c.size:
-        mx = max(mx, int(np.abs(r_c).max()))
+    for arr in (r_l, r_c, ivals):
+        if arr.size:
+            mx = max(mx, int(np.abs(arr).max()))
     if mx > MAX_RES:
         raise OverflowError("residual exceeds fast-path int16 budget")
 
-    # skewed-buffer targets: d = mx+my (+1 buffer row), k = my
+    # natural padded-plane targets: tag = (y << 12) | x, 4-aligned
     def l_tags(ms, bs):
-        my, mx_ = ms // gw, ms % gw
-        d = my + mx_ + 1
-        rx = _BLK_X[bs]
-        lane = my * 16 + _BLK_Y[bs]
-        return ((d << 24) | (rx << 18) | lane).astype(np.int32)
+        y = PAD + (ms // gw) * 16 + _BLK_Y[bs]
+        x = PAD + (ms % gw) * 16 + _BLK_X[bs]
+        return ((y << 12) | x).astype(np.int32)
 
     def c_tags(ms, bs):
-        my, mx_ = ms // gw, ms % gw
-        d = my + mx_ + 1
-        rx = (bs % 2) * 4
-        lane = my * 8 + (bs // 2) * 4
-        return ((d << 24) | (rx << 18) | lane).astype(np.int32)
+        y = PAD + (ms // gw) * 8 + (bs // 2) * 4
+        x = PAD + (ms % gw) * 8 + (bs % 2) * 4
+        return ((y << 12) | x).astype(np.int32)
 
     u_sel = cp == 0
-    tags = np.concatenate([
-        l_tags(lm, lb),
-        c_tags(cm[u_sel], cb[u_sel]),
-        c_tags(cm[~u_sel], cb[~u_sel])]) if (lm.size + cm.size) else \
-        np.zeros((0,), np.int32)
-    vals = np.concatenate([
-        r_l.transpose(0, 2, 1).reshape(-1, 16),
-        r_c[u_sel].transpose(0, 2, 1).reshape(-1, 16),
-        r_c[~u_sel].transpose(0, 2, 1).reshape(-1, 16)]) \
-        .astype(np.int16) if (lm.size + cm.size) else \
-        np.zeros((0, 16), np.int16)
+    if lm.size + cm.size:
+        tags = np.concatenate([
+            l_tags(lm, lb),
+            c_tags(cm[u_sel], cb[u_sel]),
+            c_tags(cm[~u_sel], cb[~u_sel])])
+        vals = np.concatenate([
+            r_l.reshape(-1, 16),
+            r_c[u_sel].reshape(-1, 16),
+            r_c[~u_sel].reshape(-1, 16)]).astype(np.int16)
+    else:
+        tags = np.zeros((0,), np.int32)
+        vals = np.zeros((0, 16), np.int16)
     counts = np.array([lm.size, lm.size + int(u_sel.sum()),
                        lm.size + cm.size], np.int32)
     return FastFrame(smb=smb, aux=aux, tags=tags, vals=vals,
                      counts=counts, wslot=int(wslot),
-                     ref_slot=int(sd.ref_idx.flat[0]))
+                     ref_slot=int(sd.ref_idx.flat[0]),
+                     ilist=ilist, ivals=ivals)

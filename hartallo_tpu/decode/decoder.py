@@ -450,13 +450,14 @@ class Decoder:
 
         has_intra = bool((~mb_is_inter).any())
         fast = None
-        if not has_intra and _fast_mode():
+        if _fast_mode():
             from hartallo_tpu.decode import d_pool
             if d_pool.eligible(sd, wp_l) is None:
                 try:
                     ff = d_pool.pack_fast(sd, fmb_v, fmb_h,
                                           filter_internal, wslot,
-                                          pps.chroma_qp_index_offset)
+                                          pps.chroma_qp_index_offset,
+                                          al=al, at=at, atr=atr)
                     if ff.tags.shape[0] <= d_pool.nrmax(gw, gh):
                         fast = ff
                 except OverflowError:
@@ -547,9 +548,31 @@ class Decoder:
                 runs.append((kind, [j]))
         from hartallo_tpu.decode import d_pool
         km = d_pool.kmax(gw, gh)
-        runs = [(kind, run[i:i + km] if kind else run)
+
+        def split_fast(run):
+            """Chunk to the SMEM frame cap and isolate intra-heavy
+            pictures (e.g. I frames) so the dense intra pool of a batch
+            stays small for the tunnel upload."""
+            out, cur = [], []
+            for j in run:
+                big = j.fast.ilist.shape[0] > 32
+                if big:
+                    if cur:
+                        out.append(cur)
+                        cur = []
+                    out.append([j])
+                else:
+                    cur.append(j)
+                    if len(cur) == km:
+                        out.append(cur)
+                        cur = []
+            if cur:
+                out.append(cur)
+            return out
+
+        runs = [(kind, piece)
                 for kind, run in runs
-                for i in (range(0, len(run), km) if kind else (0,))]
+                for piece in (split_fast(run) if kind else [run])]
         for kind, run in runs:
             if kind:
                 outs, ringY, ringU, ringV = self._flush_fast(
@@ -575,23 +598,33 @@ class Decoder:
         from hartallo_tpu.decode import d_pool
         from hartallo_tpu.decode.d_gop_pallas import SF, decode_gop_pl
         K = len(run)
-        NR = d_pool.nrmax(gw, gh)
+        mtags = max(j.fast.tags.shape[0] for j in run)
+        mi = max(j.fast.ilist.shape[0] for j in run)
+        NR = 256 if mtags <= 256 else d_pool.nrmax(gw, gh)
+        NI = 32 if mi <= 32 else d_pool.nimax(gw, gh)
         smb = np.stack([j.fast.smb for j in run])
         aux = np.stack([j.fast.aux for j in run])
         sf = np.zeros((K, SF), np.int32)
         tags = np.zeros((K, NR), np.int32)
         vals = np.zeros((K, NR, 16), np.int16)
+        ilist = np.zeros((K, NI, 4), np.int32)
+        ivals = np.zeros((K, NI, 24, 16), np.int16)
         for i, j in enumerate(run):
             ff = j.fast
             m = ff.tags.shape[0]
             sf[i, 0] = ff.wslot
             sf[i, 1] = ff.ref_slot
             sf[i, 2:5] = ff.counts
+            ni = ff.ilist.shape[0]
+            sf[i, 5] = ni
             tags[i, :m] = ff.tags
             vals[i, :m] = ff.vals
+            ilist[i, :ni] = ff.ilist
+            ivals[i, :ni] = ff.ivals
         return decode_gop_pl(
             jnp.asarray(smb), jnp.asarray(aux), jnp.asarray(sf),
-            jnp.asarray(tags), jnp.asarray(vals), ringY, ringU, ringV,
+            jnp.asarray(tags), jnp.asarray(vals), jnp.asarray(ilist),
+            jnp.asarray(ivals), ringY, ringU, ringV,
             gw=gw, gh=gh, chroma_qp_off=cqoff,
             interpret=_fast_mode() == "interpret")
 

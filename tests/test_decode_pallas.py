@@ -48,29 +48,18 @@ def test_host_residual_pool_matches_device():
     res_y = np.asarray(res_y)             # (gh, gw, 16, 16)
     res_c = np.asarray(res_c)             # (gh, gw, 2, 8, 8)
 
-    # scatter the pool into planes (undo the skew/transpose packing)
+    # scatter the pool into planes (natural padded coords, row-major)
+    P = d_pool.PAD
     got_y = np.zeros((gh * 16, gw * 16), np.int32)
     got_u = np.zeros((gh * 8, gw * 8), np.int32)
     got_v = np.zeros((gh * 8, gw * 8), np.int32)
     nl, nu2, nr = ff.counts
     for i, (tag, vals) in enumerate(zip(ff.tags, ff.vals)):
-        d = tag >> 24
-        rx = (tag >> 18) & 63
-        lane = tag & 0x3FFF
-        blk = vals.reshape(4, 4).T        # stored transposed
-        if i < nl:
-            k = lane // 16
-            ry = lane % 16
-            mx = (d - 1) - k
-            got_y[k * 16 + ry:k * 16 + ry + 4,
-                  mx * 16 + rx:mx * 16 + rx + 4] = blk
-        else:
-            k = lane // 8
-            ry = lane % 8
-            mx = (d - 1) - k
-            dst = got_u if i < nu2 else got_v
-            dst[k * 8 + ry:k * 8 + ry + 4,
-                mx * 8 + rx:mx * 8 + rx + 4] = blk
+        y = (tag >> 12) - P
+        x = (tag & 4095) - P
+        blk = vals.reshape(4, 4)
+        dst = got_y if i < nl else (got_u if i < nu2 else got_v)
+        dst[y:y + 4, x:x + 4] = blk
 
     exp_y = res_y.transpose(0, 2, 1, 3).reshape(gh * 16, gw * 16)
     exp_u = res_c[:, :, 0].transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
@@ -129,8 +118,7 @@ def test_fast_path_bit_exact_vs_xla(monkeypatch, deblock):
     monkeypatch.setenv("HARTALLO_FAST_DECODE", "interpret")
     got = Codec(CodecConfig()).decode_annexb(stream)
     assert len(got) == NF
-    # most P frames take the kernel (intra-in-P pictures legitimately
-    # route to the XLA path)
-    assert fast_used["n"] >= (NF - 1) // 2 + 1
+    # every picture takes the kernel (I pictures and intra-in-P included)
+    assert fast_used["n"] == NF
     for i, (a, b) in enumerate(zip(ref, got)):
         assert np.array_equal(a.frame, b.frame), f"frame {i} differs"
