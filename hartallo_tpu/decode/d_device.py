@@ -15,19 +15,22 @@ from hartallo_tpu.decode.intra_recon import PAD, compute_residuals
 
 
 @partial(jax.jit, static_argnames=("gw", "gh", "has_inter", "has_ibl",
-                                   "chroma_qp_off"))
+                                   "chroma_qp_off", "use_weights"))
 def decode_frame_pre(luma_ac, luma_dc, chroma_ac, chroma_dc, qp, is_i16,
                      mv, ref_idx, ref_y, ref_u, ref_v,
                      up_y_mb, up_c_mb, kind,
-                     pcm_y, pcm_u, pcm_v,
+                     pcm_y, pcm_u, pcm_v, weight4x4,
                      *, gw: int, gh: int, has_inter: bool, has_ibl: bool,
-                     chroma_qp_off: int):
+                     chroma_qp_off: int, use_weights: bool = False):
     """kind: (gh,gw) int32 raw mb_kind (0..8); pcm_*: full planes holding
-    I_PCM samples (zeros elsewhere).  Returns (padY, padU, padV, res_y,
-    res_c)."""
+    I_PCM samples (zeros elsewhere); weight4x4: (2,3,4,4) scaling-list
+    weightScale (used when use_weights).  Returns (padY, padU, padV,
+    res_y, res_c)."""
     H, W = gh * 16, gw * 16
-    res_y, res_c = compute_residuals(luma_ac, luma_dc, chroma_ac,
-                                     chroma_dc, qp, is_i16, chroma_qp_off)
+    res_y, res_c = compute_residuals(
+        luma_ac, luma_dc, chroma_ac, chroma_dc, qp, is_i16, chroma_qp_off,
+        weight4x4=weight4x4 if use_weights else None,
+        mb_is_inter=(kind >= 3) & (kind != 8))
 
     y0 = pcm_y
     u0 = pcm_u

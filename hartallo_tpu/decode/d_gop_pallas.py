@@ -130,6 +130,24 @@ def _i16_plane_w():
 _WH16, _WVL16, _WH8, _WVL8 = _i16_plane_w()
 
 
+def _shear_dev(aux, gw: int, gh: int):
+    """(K, gh, gw, NAUX) -> (K, D2, KD, NAUX) with out[d, k] = in[k, d-k]
+    (invalid slots zeroed), gather-free: pad + reshape + transpose."""
+    K = aux.shape[0]
+    W2 = gw + gh
+    p = jnp.pad(aux, ((0, 0), (0, 0), (0, W2 - gw), (0, 0)))
+    flat = p.reshape(K, gh * W2, NAUX)
+    sh = flat[:, :gh * (W2 - 1)].reshape(K, gh, W2 - 1, NAUX)
+    sh = jnp.swapaxes(sh, 1, 2)              # (K, D, gh, NAUX)
+    D = gw + gh - 1
+    kk = jnp.arange(gh)[None, :]
+    dd = jnp.arange(D)[:, None]
+    valid = (dd - kk >= 0) & (dd - kk < gw)
+    sh = jnp.where(valid[None, :, :, None], sh, 0)
+    z = jnp.zeros((K, 1, gh, NAUX), jnp.int16)
+    return jnp.concatenate([z, sh, z], axis=1)
+
+
 def geom(gw: int, gh: int):
     D = gw + gh - 1
     KD = gh
@@ -966,6 +984,7 @@ def decode_gop_pl(smb, aux, sf, tags, vals, ilist, ivals,
     NR = tags.shape[1]
     NI = ilist.shape[1]
     g = geom(gw, gh)
+    aux = _shear_dev(aux, gw, gh)            # (K, D2, KD, NAUX)
     vals32 = vals.astype(jnp.int32)
     ivals32 = ivals.astype(jnp.int32)
     iconf = jnp.asarray(np.concatenate([_WL4, _WT4], axis=0))  # (13,128)

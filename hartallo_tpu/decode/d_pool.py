@@ -168,11 +168,21 @@ def _bs_grids_np(sd, fmb_v, fmb_h, fint):
     rep = lambda a: np.repeat(np.repeat(a, 4, 0), 4, 1)   # noqa: E731
     bi = rep(sd.mb_kind <= 2)                        # intra (incl. PCM)
 
+    def shift1(a, axis):
+        out = np.empty_like(a)
+        if axis == 0:
+            out[0] = a[0]
+            out[1:] = a[:-1]
+        else:
+            out[:, 0] = a[:, 0]
+            out[:, 1:] = a[:, :-1]
+        return out
+
     def edge_bs(axis):
-        intra_pq = bi | np.roll(bi, 1, axis=axis)
-        nz_pq = nnz | np.roll(nnz, 1, axis=axis)
-        mv_p = np.roll(mvg, 1, axis=axis)
-        mv_far = (np.abs(mvg - mv_p) >= 4).any(axis=-1)
+        intra_pq = bi | shift1(bi, axis)
+        nz_pq = nnz | shift1(nnz, axis)
+        dmv = np.abs(mvg - shift1(mvg, axis))
+        mv_far = (dmv >= 4).any(axis=-1)
         return np.where(intra_pq, 4,
                         np.where(nz_pq, 2, np.where(mv_far, 1, 0)))
 
@@ -188,19 +198,10 @@ def _bs_grids_np(sd, fmb_v, fmb_h, fint):
     return bs_vg, bs_hg
 
 
-def _shear_np(a, gw, gh):
-    """(gh, gw, ...) -> (D, gh, ...): out[d, k] = in[k, d - k]."""
-    D = gw + gh - 1
-    out = np.zeros((D, gh) + a.shape[2:], a.dtype)
-    for k in range(gh):
-        out[k:k + gw, k] = a[k]
-    return out
-
-
 def _aux_np(sd, fmb_v, fmb_h, fint, chroma_qp_off: int):
-    """(D2, KD, NAUX) int16 deblock params (kernel aux input).
-
-    Layout documented in d_gop_pallas.py; thresholds per 8.7.2.2."""
+    """(gh, gw, NAUX) int16 deblock params (sheared to diagonals on
+    device).  Layout documented in d_gop_pallas.py; thresholds per
+    8.7.2.2."""
     gh, gw = sd.gh, sd.gw
     qp = sd.qp.astype(np.int64)
     offa = sd.alpha_off.astype(np.int64)
@@ -232,15 +233,13 @@ def _aux_np(sd, fmb_v, fmb_h, fint, chroma_qp_off: int):
     ts = np.concatenate([t_ev, t_eh, t_i, ct_ev, ct_eh, ct_i], axis=-1)
     bs = np.concatenate([bs_v.reshape(gh, gw, 16),
                          bs_h.reshape(gh, gw, 16)], axis=-1)
-    aux = np.concatenate([ab, ts, bs], axis=-1).astype(np.int16)
-    sh = _shear_np(aux, gw, gh)
-    z = np.zeros((1, gh, NAUX), np.int16)
-    return np.concatenate([z, sh, z], axis=0)
+    return np.concatenate([ab, ts, bs], axis=-1).astype(np.int16)
 
 
 def nrmax(gw: int, gh: int) -> int:
     """Static residual-pool capacity per frame (compile-stable)."""
-    return 2048 if gw * gh <= 1600 else 4096
+    return 2048 if gw * gh <= 1600 else \
+        (4096 if gw * gh <= 4000 else 6144)
 
 
 def nimax(gw: int, gh: int) -> int:
@@ -273,7 +272,7 @@ def eligible(sd, wp_l) -> Optional[str]:
         return "too many intra macroblocks for the SMEM list"
     if wp_l is not None:
         return "weighted prediction"
-    if sd.gw * 16 > 1280 or sd.gh * 16 > 768:
+    if sd.gw * 16 > 1920 or sd.gh * 16 > 1088:
         return "frame too large for VMEM-resident fast path"
     v = sd.mv.reshape(sd.gh, sd.gw, 2, 2, 2, 2, 2)
     if not (v == v[:, :, :, :1, :, :1, :]).all():
@@ -338,7 +337,11 @@ def pack_fast(sd, fmb_v, fmb_h, fint, wslot: int, chroma_qp_off: int,
     is_intra = kind <= 2
 
     lac = sd.luma_ac.reshape(n, 16, 4, 4)
-    lnz = lac.any(axis=(2, 3)) & ~is_intra[:, None]  # (n, 16)
+    # nnz_luma is the parsed per-4x4 TotalCoeff — nonzero iff the block
+    # has coded (nonzero) levels, so no coefficient scan is needed
+    nnzb = (sd.nnz_luma.reshape(gh, 4, gw, 4).transpose(0, 2, 1, 3)
+            .reshape(n, 16) > 0)
+    lnz = nnzb[:, _BLK_RASTER_OF] & ~is_intra[:, None]   # blkIdx order
     lm, lb = np.nonzero(lnz)
     r_l = _idct_np(_dequant_np(lac[lm, lb], qp[lm])) if lm.size else \
         np.zeros((0, 4, 4), np.int32)
@@ -348,8 +351,9 @@ def pack_fast(sd, fmb_v, fmb_h, fint, wslot: int, chroma_qp_off: int,
         sd.chroma_dc.reshape(n, 2, 2, 2),
         np.broadcast_to(qpc[:, None], (n, 2)))       # (n,2,2,2)
     dcc_blk = dcc.reshape(n, 2, 4)                   # raster == blk order
-    cnz = (cac.any(axis=(3, 4)) | (dcc_blk != 0)) & \
-        ~is_intra[:, None, None]                     # (n,2,4)
+    cnnz = (sd.nnz_chroma.reshape(gh, 2, gw, 2, 2)
+            .transpose(0, 2, 4, 1, 3).reshape(n, 2, 4) > 0)
+    cnz = (cnnz | (dcc_blk != 0)) & ~is_intra[:, None, None]
     cm, cp, cb = np.nonzero(cnz)
     if cm.size:
         d_c = _dequant_np(cac[cm, cp, cb], qpc[cm])

@@ -42,7 +42,7 @@ from hartallo_tpu.util import log
 
 assert PAD == 32  # intra_recon and interpol share the pad geometry
 
-BATCH_K = 8      # frames per device dispatch in the batched path
+BATCH_K = 16     # frames per device dispatch in the batched path
 
 
 class _Layer:
@@ -350,9 +350,11 @@ class Decoder:
     def _reconstruct(self, sps: SPS, pps: PPS, sh: SliceHeader,
                      nh: N.NalHeader, sd: SliceData, layer: _Layer,
                      dqid: int):
+        from hartallo_tpu.decode.params import effective_weight4x4
         has_pcm = bool((sd.mb_kind == MB_PCM).any())
         has_ibl = bool((sd.mb_kind == MB_IBL).any())
-        if not has_pcm and not has_ibl:
+        nonflat = effective_weight4x4(sps, pps) is not None
+        if not has_pcm and not has_ibl and not nonflat:
             return self._enqueue_batched(sps, pps, sh, nh, sd, layer)
         return self._reconstruct_general(sps, pps, sh, nh, sd, layer, dqid)
 
@@ -718,6 +720,8 @@ class Decoder:
             pcm_v[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
                 sd.pcm_chroma[my, mx, 1]
 
+        from hartallo_tpu.decode.params import effective_weight4x4
+        w4 = effective_weight4x4(sps, pps)
         padY, padU, padV, res_y, res_c = decode_frame_pre(
             jnp.asarray(sd.luma_ac), jnp.asarray(sd.luma_dc),
             jnp.asarray(sd.chroma_ac), jnp.asarray(sd.chroma_dc),
@@ -727,8 +731,11 @@ class Decoder:
             jnp.asarray(sd.ref_idx, jnp.int32), ry, ru, rv,
             up_y_mb, up_c_mb, jnp.asarray(sd.mb_kind, jnp.int32),
             jnp.asarray(pcm_y), jnp.asarray(pcm_u), jnp.asarray(pcm_v),
+            jnp.asarray(w4 if w4 is not None
+                        else np.full((2, 3, 4, 4), 16, np.int32)),
             gw=gw, gh=gh, has_inter=has_inter, has_ibl=has_ibl,
-            chroma_qp_off=pps.chroma_qp_index_offset)
+            chroma_qp_off=pps.chroma_qp_index_offset,
+            use_weights=w4 is not None)
 
         mb_is_inter = (sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)
         al, at = availability_masks(sd.slice_id,

@@ -43,17 +43,103 @@ _J_QP_CHROMA = jnp.asarray(QP_SCALE_CHROMA)
 # Residual assembly (frame-batched)
 # ---------------------------------------------------------------------------
 
+def _dequant_w(c, qp, ls):
+    """8.5.12.1 with an explicit LevelScale tensor (weightScale applied);
+    c (...,4,4), qp (...,), ls (...,4,4).  Reference
+    hl_codec_264_quant.c:68-110."""
+    c = c.astype(jnp.int32)
+    qp = jnp.asarray(qp, jnp.int32)
+    qdiv = (qp // 6)[..., None, None]
+    hi = (c * ls) << jnp.maximum(qdiv - 4, 0)
+    lo = (c * ls + (1 << jnp.maximum(3 - qdiv, 0))) >> \
+        jnp.maximum(4 - qdiv, 0)
+    return jnp.where(qp[..., None, None] >= 24, hi, lo)
+
+
+def _dc_descale_luma_w(c, qp, scale00):
+    """8.5.10 with explicit LevelScale[0][0] (...,) per MB."""
+    from hartallo_tpu.ops.transform import _hadamard_4x4
+    f = _hadamard_4x4(c.astype(jnp.int32))
+    qp = jnp.asarray(qp, jnp.int32)
+    scale = scale00[..., None, None]
+    qdiv = (qp // 6)[..., None, None]
+    hi = (f * scale) << jnp.maximum(qdiv - 6, 0)
+    lo = (f * scale + (1 << jnp.maximum(5 - qdiv, 0))) >> \
+        jnp.maximum(6 - qdiv, 0)
+    return jnp.where(qp[..., None, None] >= 36, hi, lo)
+
+
+def _dc_descale_chroma_w(c, qp, scale00):
+    """8.5.11 (4:2:0) with explicit LevelScale[0][0] (...,) per MB."""
+    from hartallo_tpu.ops.transform import _hadamard_2x2
+    f = _hadamard_2x2(c.astype(jnp.int32))
+    qp = jnp.asarray(qp, jnp.int32)
+    return ((f * scale00[..., None, None]) <<
+            (qp // 6)[..., None, None]) >> 5
+
+
 def compute_residuals(luma_ac, luma_dc, chroma_ac, chroma_dc, qp,
-                      is_i16, chroma_qp_index_offset: int):
+                      is_i16, chroma_qp_index_offset: int,
+                      weight4x4=None, mb_is_inter=None):
     """Returns (res_y (gh,gw,16,16), res_c (gh,gw,2,8,8)) int32.
 
     luma_ac (gh,gw,16,4,4) raster coeffs per blkIdx; luma_dc (gh,gw,4,4);
     chroma_ac (gh,gw,2,4,4,4); chroma_dc (gh,gw,2,2,2); qp (gh,gw);
     is_i16 (gh,gw) bool.
+
+    weight4x4: optional (2, 3, 4, 4) int32 weightScale (non-flat scaling
+    lists, 8.5.9); mb_is_inter (gh, gw) bool then selects the list class.
+    The chroma DC descale indexes the INTRA lists regardless, matching
+    the reference (hl_codec_264_transf.c:684-702).
     """
     gh, gw = qp.shape
     qp = qp.astype(jnp.int32)
     qpb = qp[..., None]                                   # (gh,gw,1)
+
+    if weight4x4 is not None:
+        from hartallo_tpu.core import tables as _T
+        LS = weight4x4[:, :, None] * jnp.asarray(_T.QUANT_V)[None, None]
+        inter = jnp.asarray(mb_is_inter, jnp.int32)       # (gh,gw)
+        m6 = qp % 6
+        ls_y = LS[inter, 0, m6]                           # (gh,gw,4,4)
+        d = _dequant_w(luma_ac, jnp.broadcast_to(qpb, (gh, gw, 16)),
+                       ls_y[:, :, None])
+        dc = _dc_descale_luma_w(luma_dc, qp, LS[0, 0, m6, 0, 0])
+        blk_row = jnp.asarray(_BLK_Y) // 4
+        blk_col = jnp.asarray(_BLK_X) // 4
+        dc_per_blk = dc[:, :, blk_row, blk_col]
+        use_dc = is_i16[..., None]
+        d = d.at[..., 0, 0].set(jnp.where(use_dc, dc_per_blk,
+                                          d[..., 0, 0]))
+        r = inverse_transform_4x4(d)
+        res_y = jnp.zeros((gh, gw, 16, 16), jnp.int32)
+        for blk in range(16):
+            res_y = res_y.at[:, :, _BLK_Y[blk]:_BLK_Y[blk] + 4,
+                             _BLK_X[blk]:_BLK_X[blk] + 4].set(r[:, :, blk])
+        qpc_idx = jnp.clip(qp + chroma_qp_index_offset, 0, 51)
+        qpc = _J_QP_CHROMA[qpc_idx]
+        mc6 = qpc % 6
+        cidx = jnp.asarray([1, 2])                        # Cb, Cr classes
+        dcc = jnp.stack(
+            [_dc_descale_chroma_w(chroma_dc[:, :, c], qpc,
+                                  LS[0, c + 1, mc6, 0, 0])
+             for c in range(2)], axis=2)                  # (gh,gw,2,2,2)
+        ls_c = jnp.stack([LS[inter, c + 1, mc6] for c in range(2)],
+                         axis=2)                          # (gh,gw,2,4,4)
+        dac = _dequant_w(
+            chroma_ac,
+            jnp.broadcast_to(qpc[..., None, None], (gh, gw, 2, 4)),
+            ls_c[:, :, :, None])
+        blk_r = jnp.arange(4) // 2
+        blk_c = jnp.arange(4) % 2
+        dac = dac.at[..., 0, 0].set(dcc[:, :, :, blk_r, blk_c])
+        rc = inverse_transform_4x4(dac)                   # (gh,gw,2,4,4,4)
+        res_c = jnp.zeros((gh, gw, 2, 8, 8), jnp.int32)
+        for b in range(4):
+            r0, c0 = (b // 2) * 4, (b % 2) * 4
+            res_c = res_c.at[:, :, :, r0:r0 + 4, c0:c0 + 4] \
+                .set(rc[:, :, :, b])
+        return res_y, res_c
 
     d = dequant_4x4(luma_ac, jnp.broadcast_to(qpb, (gh, gw, 16)))
     # Intra16x16: replace DC with descaled Hadamard DC

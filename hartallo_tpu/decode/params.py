@@ -28,6 +28,70 @@ _HIGH_PROFILES = (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
 # Scaling lists (spec 7.3.2.1.1.1)
 # ---------------------------------------------------------------------------
 
+# Table 7-3 default scaling lists (zigzag scan order)
+DEFAULT_4X4_INTRA = np.array(
+    [6, 13, 13, 20, 20, 20, 28, 28, 28, 28, 32, 32, 32, 37, 37, 42],
+    np.int32)
+DEFAULT_4X4_INTER = np.array(
+    [10, 14, 14, 20, 20, 20, 24, 24, 24, 24, 27, 27, 27, 30, 30, 34],
+    np.int32)
+_FLAT16 = np.full(16, 16, np.int32)
+
+
+def _resolve_4x4(lists, base):
+    """Table 7-2 fall-back: entry None=absent, "default", or ndarray(16).
+
+    ``base``: the 6 lists to fall back to for indices 0 and 3 (the
+    SPS-resolved lists under fall-back rule B, or defaults/flat under
+    rule A).  NOTE: this implements the spec; the reference decoder
+    errors out on absent lists (hl_codec_264_sps.c:252-257).
+    """
+    out = []
+    for i in range(6):
+        e = lists[i] if lists is not None and i < len(lists) else None
+        if isinstance(e, np.ndarray):
+            out.append(e.astype(np.int32))
+        elif e == "default":
+            out.append(DEFAULT_4X4_INTRA if i < 3 else DEFAULT_4X4_INTER)
+        elif i == 0:
+            out.append(base[0])
+        elif i == 3:
+            out.append(base[3])
+        else:
+            out.append(out[i - 1])
+    return out
+
+
+def effective_weight4x4(sps, pps):
+    """(2, 3, 4, 4) weightScale per (mbIsInterFlag, iYCbCr), or None when
+    every list is flat (8.5.9 derivation; zigzag inverse scan 8.5.6).
+    Reference: _hl_codec_264_nal_pps_derive (hl_codec_264_pps.c:28-86)."""
+    from hartallo_tpu.core.tables import ZIGZAG_4x4
+    seq_raw = getattr(sps, "scaling_lists_4x4", None)
+    pic_raw = getattr(pps, "pic_scaling_lists_4x4", None)
+    if seq_raw is None and pic_raw is None:
+        return None
+    defaults = [DEFAULT_4X4_INTRA] * 3 + [DEFAULT_4X4_INTER] * 3
+    flats = [_FLAT16] * 6
+    seq = _resolve_4x4(seq_raw, defaults if seq_raw is not None else flats)         if seq_raw is not None else flats
+    if pic_raw is not None:
+        lists = _resolve_4x4(pic_raw, seq if seq_raw is not None
+                             else defaults)
+    else:
+        lists = seq
+    if all((l == 16).all() for l in lists):
+        return None
+    w = np.zeros((2, 3, 4, 4), np.int32)
+    zz = ZIGZAG_4x4.astype(int)
+    for inter in range(2):
+        for c in range(3):
+            lst = lists[c + 3 * inter]
+            flat = np.zeros(16, np.int32)
+            flat[zz] = lst                 # inverse zigzag scan
+            w[inter, c] = flat.reshape(4, 4)
+    return w
+
+
 def _parse_scaling_list(r: BitReader, size: int):
     """Returns (list or None-if-use-default, use_default_flag)."""
     scaling = np.zeros(size, dtype=np.int32)
@@ -324,7 +388,7 @@ class SPS:
                     lst, use_default = _parse_scaling_list(r, size)
                     (s.scaling_lists_4x4 if i < 6
                      else s.scaling_lists_8x8).append(
-                        None if use_default else lst)
+                        "default" if use_default else lst)
         s.log2_max_frame_num_minus4 = r.ue()
         s.pic_order_cnt_type = r.ue()
         if s.pic_order_cnt_type == 0:
@@ -366,7 +430,25 @@ class SPS:
             w.ue(self.bit_depth_luma_minus8)
             w.ue(self.bit_depth_chroma_minus8)
             w.u1(self.qpprime_y_zero_transform_bypass_flag)
-            w.u1(0)  # seq_scaling_matrix_present_flag (flat lists)
+            if self.scaling_lists_4x4 is None:
+                w.u1(0)  # seq_scaling_matrix_present_flag (flat lists)
+            else:
+                w.u1(1)
+                n8 = 2 if self.chroma_format_idc != 3 else 6
+                for i in range(6 + n8):
+                    if i < 6:
+                        lst = self.scaling_lists_4x4[i]
+                    else:
+                        lst = (self.scaling_lists_8x8[i - 6]
+                               if self.scaling_lists_8x8 else None)
+                    if lst is None or isinstance(lst, str):
+                        w.u1(0)
+                    else:
+                        w.u1(1)
+                        last = 8
+                        for v in lst:
+                            w.se(int(v) - last)
+                            last = int(v)
         w.ue(self.log2_max_frame_num_minus4)
         w.ue(self.pic_order_cnt_type)
         if self.pic_order_cnt_type == 0:
@@ -428,6 +510,7 @@ class PPS:
     # More-data extensions (High profile)
     transform_8x8_mode_flag: int = 0
     pic_scaling_matrix_present_flag: int = 0
+    pic_scaling_lists_4x4: Optional[list] = None
     second_chroma_qp_index_offset: Optional[int] = None
 
     @property
@@ -475,9 +558,17 @@ class PPS:
             if p.pic_scaling_matrix_present_flag:
                 n8 = 2 if chroma_format_idc != 3 else 6
                 count = 6 + (n8 if p.transform_8x8_mode_flag else 0)
+                p.pic_scaling_lists_4x4 = []
                 for i in range(count):
-                    if r.u1():
-                        _parse_scaling_list(r, 16 if i < 6 else 64)
+                    if not r.u1():
+                        if i < 6:
+                            p.pic_scaling_lists_4x4.append(None)
+                        continue
+                    lst, use_default = _parse_scaling_list(
+                        r, 16 if i < 6 else 64)
+                    if i < 6:
+                        p.pic_scaling_lists_4x4.append(
+                            "default" if use_default else lst)
             p.second_chroma_qp_index_offset = r.se()
         return p
 

@@ -23,10 +23,22 @@ def _rand_slice_data(gw, gh, rng, density=0.2, qp=30):
     sd.chroma_ac[cmask] = rng.integers(-20, 20, (int(cmask.sum()), 4, 4))
     dmask = rng.random((gh, gw, 2)) < density
     sd.chroma_dc[dmask] = rng.integers(-12, 12, (int(dmask.sum()), 2, 2))
-    nnz = (sd.luma_ac != 0).any(axis=(3, 4)).astype(np.int16)
-    sd.nnz_luma[:] = nnz.reshape(gh, gw, 4, 4).transpose(0, 2, 1, 3) \
-        .reshape(4 * gh, 4 * gw)
+    _fill_nnz(sd)
     return sd
+
+
+def _fill_nnz(sd):
+    """Derive nnz grids from the coefficients the way the parser does
+    (nnz_luma/nnz_chroma are spatial 4x4-block grids)."""
+    gh, gw = sd.gh, sd.gw
+    nnz_blk = (sd.luma_ac != 0).any(axis=(3, 4))        # (gh,gw,16) blkIdx
+    raster = nnz_blk[:, :, np.argsort(d_pool._BLK_RASTER_OF)]
+    sd.nnz_luma[:] = raster.reshape(gh, gw, 4, 4) \
+        .transpose(0, 2, 1, 3).reshape(4 * gh, 4 * gw).astype(np.int16)
+    cnz = (sd.chroma_ac != 0).any(axis=(4, 5))          # (gh,gw,2,4)
+    sd.nnz_chroma[:] = cnz.reshape(gh, gw, 2, 2, 2) \
+        .transpose(0, 3, 1, 4, 2).reshape(2 * gh, 2 * gw, 2) \
+        .astype(np.int16)
 
 
 def test_host_residual_pool_matches_device():

@@ -46,9 +46,11 @@ def main():
         lmask = rng.random((gh, gw, 16)) < (0.1 if gw <= 40 else 0.04)
         sd.luma_ac[lmask] = rng.integers(-20, 20,
                                          (int(lmask.sum()), 4, 4))
-        nnz = (sd.luma_ac != 0).any(axis=(3, 4)).astype(np.int16)
-        sd.nnz_luma[:] = nnz.reshape(gh, gw, 4, 4) \
-            .transpose(0, 2, 1, 3).reshape(4 * gh, 4 * gw)
+        nnz_blk = (sd.luma_ac != 0).any(axis=(3, 4))
+        raster = nnz_blk[:, :, np.argsort(d_pool._BLK_RASTER_OF)]
+        sd.nnz_luma[:] = raster.reshape(gh, gw, 4, 4) \
+            .transpose(0, 2, 1, 3).reshape(4 * gh, 4 * gw) \
+            .astype(np.int16)
         fv = np.zeros((gh, gw), bool); fv[:, 1:] = True
         fh = np.zeros((gh, gw), bool); fh[1:, :] = True
         ones = np.ones((gh, gw), bool)
