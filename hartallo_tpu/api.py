@@ -48,6 +48,7 @@ class CodecConfig:
     # temporal scalability: 2 -> alternate P frames are non-reference
     # (temporal_id 1, droppable); 1 = single temporal layer
     temporal_layers: int = 1
+    svc_residual_pred: bool = True           # EP G.8.6.3 residual pred
     svc_inter_layer_p: bool = True           # EP base_mode (G.8.6.1) for
                                              # enhancement-layer P frames
     rc_basic_unit: bool = True               # per-MB-row QP adaptation

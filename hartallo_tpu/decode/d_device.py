@@ -15,22 +15,39 @@ from hartallo_tpu.decode.intra_recon import PAD, compute_residuals
 
 
 @partial(jax.jit, static_argnames=("gw", "gh", "has_inter", "has_ibl",
-                                   "chroma_qp_off", "use_weights"))
+                                   "chroma_qp_off", "use_weights",
+                                   "has_respred"))
 def decode_frame_pre(luma_ac, luma_dc, chroma_ac, chroma_dc, qp, is_i16,
                      mv, ref_idx, ref_y, ref_u, ref_v,
                      up_y_mb, up_c_mb, kind,
                      pcm_y, pcm_u, pcm_v, weight4x4,
+                     res_add_y, res_add_c, rp_mask,
                      *, gw: int, gh: int, has_inter: bool, has_ibl: bool,
-                     chroma_qp_off: int, use_weights: bool = False):
+                     chroma_qp_off: int, use_weights: bool = False,
+                     has_respred: bool = False):
     """kind: (gh,gw) int32 raw mb_kind (0..8); pcm_*: full planes holding
     I_PCM samples (zeros elsewhere); weight4x4: (2,3,4,4) scaling-list
-    weightScale (used when use_weights).  Returns (padY, padU, padV,
-    res_y, res_c)."""
+    weightScale (used when use_weights); res_add_y/res_add_c + rp_mask:
+    SVC inter-layer residual prediction (G.8.5.3 accumulation: residuals
+    sum under clip3(+-255) before reconstruction).  Returns (padY, padU,
+    padV, res_y, res_c)."""
     H, W = gh * 16, gw * 16
     res_y, res_c = compute_residuals(
         luma_ac, luma_dc, chroma_ac, chroma_dc, qp, is_i16, chroma_qp_off,
         weight4x4=weight4x4 if use_weights else None,
         mb_is_inter=(kind >= 3) & (kind != 8))
+    if has_respred:
+        # per-MB residual accumulation with the reference-layer rS
+        m16 = jnp.repeat(jnp.repeat(rp_mask, 16, 0), 16, 1)
+        m8 = jnp.repeat(jnp.repeat(rp_mask, 8, 0), 8, 1)
+        ay = res_add_y.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
+        acb = res_add_c[0].reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)
+        acr = res_add_c[1].reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)
+        ac = jnp.stack([acb, acr], axis=2)
+        m16t = m16.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
+        m8t = m8.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)[:, :, None]
+        res_y = jnp.where(m16t, jnp.clip(res_y + ay, -255, 255), res_y)
+        res_c = jnp.where(m8t, jnp.clip(res_c + ac, -255, 255), res_c)
 
     y0 = pcm_y
     u0 = pcm_u

@@ -54,6 +54,7 @@ class _Layer:
         self.poc = PocDecoder()
         self.last_recon = None
         self.last_motion = None          # (mv, ref_idx, intra, gw, gh)
+        self.last_residual = None        # (rY, rCb, rCr) rS arrays
         # batched-path state
         self.ring = None                 # (ringY, ringU, ringV)
         self.ring_key = None             # (gw, gh, S, chroma_qp_off)
@@ -145,6 +146,7 @@ class Decoder:
         self.batch_k = max(1, batch_k)
         self._sched_cache = {}
         self._fmo_cache = {}
+        self._svc_seen = False           # stream carries SVC ext NALs
         self.layers: Dict[int, _Layer] = {}
 
     def _layer(self, dqid: int) -> _Layer:
@@ -195,6 +197,7 @@ class Decoder:
             self.sps_map[sps.seq_parameter_set_id] = sps
             return DecodeResult()
         if hdr.type == N.NAL_SUBSET_SPS:
+            self._svc_seen = True
             sps = parse_subset_sps(r)
             self.sps_map[sps.seq_parameter_set_id] = sps
             return DecodeResult()
@@ -229,6 +232,8 @@ class Decoder:
     # ------------------------------------------------------------------
     def _decode_slice(self, r: BitReader, nh: N.NalHeader) -> DecodeResult:
         svc_ext = nh.type == N.NAL_SLICE_EXT
+        if svc_ext:
+            self._svc_seen = True
         dqid = nh.svc.dqid if (svc_ext and nh.svc) else 0
         no_ilp = nh.svc.no_inter_layer_pred_flag if (svc_ext and nh.svc) \
             else 1
@@ -303,6 +308,12 @@ class Decoder:
                 sd.mv, getattr(sd, "ref_idx_list", sd.ref_idx),
                 (sd.mb_kind <= 2) | (sd.mb_kind == MB_IBL),
                 sd.gw, sd.gh)
+            if self._svc_seen:
+                # rS arrays for a following layer's G.8.6.3 residual
+                # prediction (inter MBs only; intra re-initialised)
+                from hartallo_tpu.decode.d_pool import residual_planes_np
+                layer.last_residual = residual_planes_np(
+                    sd, pps.chroma_qp_index_offset)
             layer.cur = None
             if self.dqid_min >= 0 and dqid < self.dqid_min:
                 return DecodeResult()
@@ -354,7 +365,8 @@ class Decoder:
         has_pcm = bool((sd.mb_kind == MB_PCM).any())
         has_ibl = bool((sd.mb_kind == MB_IBL).any())
         nonflat = effective_weight4x4(sps, pps) is not None
-        if not has_pcm and not has_ibl and not nonflat:
+        has_respred = bool(sd.res_pred.any())
+        if not has_pcm and not has_ibl and not nonflat and not has_respred:
             return self._enqueue_batched(sps, pps, sh, nh, sd, layer)
         return self._reconstruct_general(sps, pps, sh, nh, sd, layer, dqid)
 
@@ -720,6 +732,26 @@ class Decoder:
             pcm_v[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
                 sd.pcm_chroma[my, mx, 1]
 
+        # SVC inter-layer residual prediction (G.8.6.3, same-res): rS
+        # of the reference layer, added under clip3 before reconstruction
+        has_respred = bool(sd.res_pred.any())
+        res_add_y = np.zeros((H, W), np.int32)
+        res_add_c = np.zeros((2, H // 2, W // 2), np.int32)
+        if has_respred:
+            base_dqid = sh.ref_layer_dq_id if sh.ref_layer_dq_id >= 0 \
+                else dqid - 16
+            base = self.layers.get(base_dqid)
+            if base is None or base.last_residual is None:
+                raise ValueError("residual_prediction without decoded "
+                                 "base-layer residual")
+            bry, brcb, brcr = base.last_residual
+            if bry.shape != (H, W):
+                raise ValueError("inter-layer residual prediction is "
+                                 "implemented for same-resolution "
+                                 "layers only")
+            res_add_y = bry
+            res_add_c = np.stack([brcb, brcr])
+
         from hartallo_tpu.decode.params import effective_weight4x4
         w4 = effective_weight4x4(sps, pps)
         padY, padU, padV, res_y, res_c = decode_frame_pre(
@@ -733,9 +765,11 @@ class Decoder:
             jnp.asarray(pcm_y), jnp.asarray(pcm_u), jnp.asarray(pcm_v),
             jnp.asarray(w4 if w4 is not None
                         else np.full((2, 3, 4, 4), 16, np.int32)),
+            jnp.asarray(res_add_y), jnp.asarray(res_add_c),
+            jnp.asarray(sd.res_pred != 0),
             gw=gw, gh=gh, has_inter=has_inter, has_ibl=has_ibl,
             chroma_qp_off=pps.chroma_qp_index_offset,
-            use_weights=w4 is not None)
+            use_weights=w4 is not None, has_respred=has_respred)
 
         mb_is_inter = (sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)
         al, at = availability_masks(sd.slice_id,

@@ -51,7 +51,8 @@ class Encoder:
         self.pps: Optional[PPS] = None
         self._sched_cache = {}
         self._ref_planes = None      # deblocked recon (padded) for P frames
-        self._last_motion = None     # (mv44, ref_idx, intra) of the last
+        self._last_motion = None
+        self._last_coeffs = None     # (mv44, ref_idx, intra) of the last
                                      # encoded picture (SVC G.8.6.1 input)
         self._headers = b""
         self._rc = None              # JVT-G012 controller when rc enabled
@@ -421,6 +422,7 @@ class Encoder:
         if is_idr:
             arrays = unpack(buf, INTRA_FIELDS, gh, gw)
             mb_kind = np.where(arrays["use_i16"] > 0, 1, 0).astype(np.int8)
+            self._last_coeffs = (arrays, qp, mb_kind)
             self._last_motion = (np.zeros((gh, gw, 4, 4, 2), np.int32),
                                  np.zeros((gh, gw, 4), np.int8),
                                  np.ones((gh, gw), bool))
@@ -444,6 +446,7 @@ class Encoder:
             mb_kind = np.where(is_intra,
                                np.where(arrays["use_i16"] != 0, 1, 0),
                                mb_kind).astype(np.int8)
+            self._last_coeffs = (arrays, qp, mb_kind)
             arrays.update({
                 "ref_idx": np.zeros((gh, gw, 4), np.int8),
                 "sub_types": np.zeros((gh, gw, 4), np.int8),

@@ -81,6 +81,23 @@ def _prefix_nal(svc: N.NalSvcExt, ref_idc: int) -> bytes:
     return _annexb(insert_emulation_prevention(w.getvalue()))
 
 
+def _residual_planes_from_coeffs(coeffs, chroma_qp_off):
+    """rS planes of an encoded picture from its quantized coefficients
+    (decoder-identical: d_pool numpy dequant + IDCT; inter MBs only)."""
+    from types import SimpleNamespace
+
+    from hartallo_tpu.decode.d_pool import residual_planes_np
+    arrays, qp, mb_kind = coeffs
+    gh, gw = mb_kind.shape
+    sdl = SimpleNamespace(
+        gh=gh, gw=gw, qp=np.asarray(qp, np.int32),
+        mb_kind=np.asarray(mb_kind),
+        luma_ac=np.asarray(arrays["luma_ac"], np.int32),
+        chroma_ac=np.asarray(arrays["chroma_ac"], np.int32),
+        chroma_dc=np.asarray(arrays["chroma_dc"], np.int32))
+    return residual_planes_np(sdl, chroma_qp_off)
+
+
 class SvcEncoder:
     """Drives one Encoder per spatial layer; frames are fed per layer in
     increasing order (reference hl_codec_add_layer call pattern)."""
@@ -410,6 +427,30 @@ class SvcEncoder:
         src_mb = jnp.asarray(y).reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
         pred_mb = pY.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
         res = src_mb - pred_mb
+
+        # ---- inter-layer residual prediction (G.8.6.3, same-res) -----
+        # flag=1 where subtracting the base layer's rS shrinks the luma
+        # residual; the recon loop mirrors the decoder's clip3
+        # accumulation exactly
+        res_pred = None
+        bres_y_mb = bres_c_mb = None
+        base_enc = self.layers[li - 1]
+        if ratio == 1 and getattr(base_enc, "_last_coeffs", None) \
+                is not None and self.cfg.svc_residual_pred:
+            bry, brcb, brcr = _residual_planes_from_coeffs(
+                base_enc._last_coeffs, pps.chroma_qp_index_offset)
+            bres_y_mb = jnp.asarray(
+                bry.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3))
+            bres_c_mb = jnp.asarray(np.stack([
+                brcb.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
+                brcr.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)],
+                axis=2))
+            sad_plain = jnp.abs(res).sum(axis=(2, 3))
+            sad_pred = jnp.abs(res - bres_y_mb).sum(axis=(2, 3))
+            res_pred = np.asarray((sad_pred < sad_plain) &
+                                  ~jnp.asarray(ibl))
+            rp16 = jnp.asarray(res_pred)[:, :, None, None]
+            res = jnp.where(rp16, res - bres_y_mb, res)
         blocks = _blocks_of_mb(res)
         qpj = jnp.asarray(qp)
         wq = forward_quant_4x4(forward_dct_4x4(blocks), qpj[..., None],
@@ -420,6 +461,10 @@ class SvcEncoder:
         for b in range(16):
             rec = rec.at[:, :, _BLK_Y[b]:_BLK_Y[b] + 4,
                          _BLK_X[b]:_BLK_X[b] + 4].set(rr[:, :, b])
+        if res_pred is not None:
+            rp16 = jnp.asarray(res_pred)[:, :, None, None]
+            rec = jnp.where(rp16,
+                            jnp.clip(rec + bres_y_mb, -255, 255), rec)
         rec_y = jnp.clip(pred_mb + rec, 0, 255)
 
         src_c = jnp.stack(
@@ -430,6 +475,9 @@ class SvcEncoder:
             [pU.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
              pV.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)], axis=2)
         resc = src_c - pred_c
+        if res_pred is not None:
+            rp8 = jnp.asarray(res_pred)[:, :, None, None, None]
+            resc = jnp.where(rp8, resc - bres_c_mb, resc)
         cblocks = jnp.stack(
             [resc[..., (b >> 1) * 4:(b >> 1) * 4 + 4,
                   (b & 1) * 4:(b & 1) * 4 + 4] for b in range(4)], axis=3)
@@ -454,6 +502,10 @@ class SvcEncoder:
             recc = recc.at[..., (b >> 1) * 4:(b >> 1) * 4 + 4,
                            (b & 1) * 4:(b & 1) * 4 + 4] \
                 .set(rrc[..., b, :, :])
+        if res_pred is not None:
+            rp8 = jnp.asarray(res_pred)[:, :, None, None, None]
+            recc = jnp.where(rp8,
+                             jnp.clip(recc + bres_c_mb, -255, 255), recc)
         rec_c = jnp.clip(pred_c + recc, 0, 255)
 
         arrays = {
@@ -473,7 +525,7 @@ class SvcEncoder:
         tid = int(enc._poc_cnt % 2) if two_t else 0
         enc._poc_cnt += 1
         payload = self._pack_ep_frame(enc, li, arrays, qp, mb_kind,
-                                      tid=tid)
+                                      tid=tid, res_pred=res_pred)
 
         from hartallo_tpu.encode.encoder import _planes_from_mbs
         recY = np.pad(_planes_from_mbs(np.asarray(rec_y)), PAD)
@@ -501,7 +553,7 @@ class SvcEncoder:
 
     # ------------------------------------------------------------------
     def _pack_ep_frame(self, enc: Encoder, li: int, arrays, qp,
-                       mb_kind, tid: int = 0) -> bytes:
+                       mb_kind, tid: int = 0, res_pred=None) -> bytes:
         """EP slice: every MB coded with inferred base_mode (skip-run 0 +
         the I_BL-shaped CBP/residual syntax, G.7.3.6.2)."""
         sps, pps = enc.sps, enc.pps
@@ -515,7 +567,8 @@ class SvcEncoder:
             ref_layer_dq_id=(li - 1) << 4,
             disable_inter_layer_deblocking_filter_idc=1,
             adaptive_base_mode_flag=0, default_base_mode_flag=1,
-            adaptive_residual_prediction_flag=0,
+            adaptive_residual_prediction_flag=(
+                1 if res_pred is not None else 0),
             default_residual_prediction_flag=0)
         ref_idc = 0 if tid else 2
         svc = N.NalSvcExt(idr_flag=0, no_inter_layer_pred_flag=0,
@@ -530,6 +583,8 @@ class SvcEncoder:
         for my in range(gh):
             for mx in range(gw):
                 w.ue(0)                     # mb_skip_run
+                if res_pred is not None:
+                    w.u1(int(res_pred[my, mx]))
                 packer.write_ibl_mb(w, mx, my, qp_state, 0)
         w.write_rbsp_trailing_bits()
         return insert_emulation_prevention(w.getvalue())
