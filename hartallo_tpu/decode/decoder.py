@@ -443,10 +443,6 @@ class Decoder:
         fmb_v = filter_internal & has_l & ((idc != 2) | same_l)
         fmb_h = filter_internal & has_t & ((idc != 2) | same_t)
 
-        packed = pack_slice_arrays(sd, al, at, fmb_v, fmb_h,
-                                   filter_internal, wp_l=wp_l, wp_c=wp_c,
-                                   atr=atr)
-
         layer.dpb.max_refs = sps.max_num_ref_frames
         mmco5 = any(m.op == 5 for m in (sh.mmcos or []))
         poc = layer.poc.compute(sps, sh, nh.ref_idc, nh.is_idr, mmco5)
@@ -476,6 +472,17 @@ class Decoder:
                         fast = ff
                 except OverflowError:
                     fast = None
+        # the dense packed buffer feeds the XLA batched path only — skip
+        # building it for pictures the Pallas kernel will decode (the
+        # sharded driver sets want_dense_packed: its flush consumes the
+        # dense layout regardless of fast-path eligibility)
+        if fast is not None and not getattr(self, "want_dense_packed",
+                                            False):
+            packed = None
+        else:
+            packed = pack_slice_arrays(
+                sd, al, at, fmb_v, fmb_h, filter_internal, wp_l=wp_l,
+                wp_c=wp_c, atr=atr)
         job = _Job(packed, wslot, has_intra, gw, gh, fast=fast)
         layer.jobs.append(job)
         slot = BatchSlot(self, layer, job)

@@ -362,6 +362,7 @@ def _decode_gop_sharded(mesh: Mesh, gop_stream: bytes):
 
     results = []
     dec = Decoder(batch_k=1)
+    dec.want_dense_packed = True       # sharded flush reads job.packed
 
     state = {"ring": None}
 

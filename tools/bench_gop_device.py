@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+os.environ.setdefault("HARTALLO_FAST_DECODE", "0")   # capture XLA-path buffers
+
 
 def make_clip(W, H, NF):
     rng = np.random.default_rng(2)
