@@ -333,21 +333,18 @@ class Decoder:
         MB is intra to MB_IBL (intraILPredFlag branch).
 
         Reference: hl_codec_264_utils.c:1674-2006 (G.8.6.1.1/.2) +
-        :1498-1671 (G.8.4.1 SVC), RSRC dyadic/same-res subset."""
+        :1498-1671 (G.8.4.1 SVC); RSRC index-mapping for dyadic/same-res
+        layer pairs, the full ESS derivation (G.6.1 position mapping +
+        G-210..G-261) for arbitrary ratios."""
         from hartallo_tpu.decode.slice_decode import MB_IBL, MB_PBL
-        from hartallo_tpu.svc.motion import infer_inter_layer_motion
+        from hartallo_tpu.svc.motion import infer_motion
         base_dqid = sh.ref_layer_dq_id if sh.ref_layer_dq_id >= 0 \
             else dqid - 16
         base = self.layers.get(base_dqid)
         if base is None or base.last_motion is None:
             raise ValueError("base_mode_flag without decoded base layer")
         bmv, bref, bintra, bgw, bgh = base.last_motion
-        ratio = sd.gw // bgw
-        if ratio not in (1, 2) or sd.gh // bgh != ratio:
-            raise ValueError(f"unsupported inter-layer ratio "
-                             f"({bgw}x{bgh} -> {sd.gw}x{sd.gh})")
-        mv_il, ref_il, ibl = infer_inter_layer_motion(
-            bmv, bref, bintra, sd.gw, sd.gh, ratio)
+        mv_il, ref_il, ibl = infer_motion(bmv, bref, bintra, sd.gw, sd.gh)
         pbl = sd.mb_kind == MB_PBL
         sd.mb_kind[pbl & ibl] = MB_IBL
         take = pbl & ~ibl

@@ -345,21 +345,17 @@ class SvcEncoder:
         base = self.layers[li - 1]
         if self.cfg.svc_inter_layer_p and base._last_motion is not None \
                 and enc._ref_planes is not None and enc.sps is not None:
-            bgw = base.sps.pic_width_in_mbs
-            bgh = base.sps.pic_height_in_mbs
-            gw, gh = enc.sps.pic_width_in_mbs, enc.sps.pic_height_in_mbs
-            if gw == bgw * 2 and gh == bgh * 2 or (gw, gh) == (bgw, bgh):
-                return self._encode_enh_p_ilp(enc, li, frame, width,
-                                              height)
+            return self._encode_enh_p_ilp(enc, li, frame, width, height)
         return self._encode_enh_p_rewrap(enc, li, frame, width, height)
 
     # ------------------------------------------------------------------
     def _encode_enh_p_ilp(self, enc: Encoder, li: int, frame, width,
                           height) -> EncodeResult:
         """EP picture with base_mode_flag=1 on every macroblock: motion
-        is inferred from the base layer (G.8.6.1, dyadic/same-res RSRC
-        subset), prediction runs on the layer's own reference picture,
-        and only CBP + residual are coded — no mb_type, no mvd.
+        is inferred from the base layer (G.8.6.1 — RSRC index mapping
+        for dyadic/same-res, full ESS derivation for arbitrary ratios),
+        prediction runs on the layer's own reference picture, and only
+        CBP + residual are coded — no mb_type, no mvd.
 
         Mirrors the reference encoder's design intent
         (hl_codec_264_rdo.c:1325 base_mode_flag=1 on EP MBs; its
@@ -373,17 +369,18 @@ class SvcEncoder:
             chroma_dc_descale, dequant_4x4, forward_dct_4x4,
             forward_hadamard_quant_dc_chroma, forward_quant_4x4,
             inverse_transform_4x4)
-        from hartallo_tpu.svc.motion import infer_inter_layer_motion
+        from hartallo_tpu.svc.motion import infer_motion
 
         base = self.layers[li - 1]
         sps, pps = enc.sps, enc.pps
         gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
         W, H = gw * 16, gh * 16
-        ratio = gw // base.sps.pic_width_in_mbs
+        same_res = (gw, gh) == (base.sps.pic_width_in_mbs,
+                                base.sps.pic_height_in_mbs)
 
         bmv, bref, bintra = base._last_motion
-        mv_il, ref_il, ibl = infer_inter_layer_motion(
-            bmv, bref.astype(np.int32), bintra, gw, gh, ratio)
+        mv_il, ref_il, ibl = infer_motion(
+            bmv, bref.astype(np.int32), bintra, gw, gh)
 
         # ---- prediction: inter MC on own ref; I_BL on base-intra MBs --
         refY, refU, refV = enc._ref_planes
@@ -435,7 +432,7 @@ class SvcEncoder:
         res_pred = None
         bres_y_mb = bres_c_mb = None
         base_enc = self.layers[li - 1]
-        if ratio == 1 and getattr(base_enc, "_last_coeffs", None) \
+        if same_res and getattr(base_enc, "_last_coeffs", None) \
                 is not None and self.cfg.svc_residual_pred:
             bry, brcb, brcr = _residual_planes_from_coeffs(
                 base_enc._last_coeffs, pps.chroma_qp_index_offset)
