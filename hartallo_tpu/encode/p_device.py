@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hartallo_tpu.core.tables import QP_SCALE_CHROMA
+from hartallo_tpu.core.tables import QP_SCALE_CHROMA, ZIGZAG_4x4_INV
 from hartallo_tpu.decode.inter_recon import (inter_predict_frame,
                                              mbs_to_plane, plane_to_mbs)
 from hartallo_tpu.decode.intra_recon import PAD
@@ -25,6 +25,40 @@ from hartallo_tpu.ops.transform import (
     inverse_transform_4x4)
 
 _J_QPC = jnp.asarray(QP_SCALE_CHROMA)
+_J_SCANPOS = jnp.asarray(ZIGZAG_4x4_INV.reshape(4, 4))   # raster -> scan
+# JVT-O079 2.3 significance of a lone |level|==1 coefficient by its
+# zigzag run (reference hl_codec_264_residual.c:889); run >= 6 -> 0
+_J_T079 = jnp.asarray([3, 2, 2, 1, 1, 1] + [0] * 11, jnp.int32)
+
+
+def eliminate_single_coeffs_luma(wq):
+    """JVT-O079 2.3 'elimination of single coefficients in inter
+    macroblocks' — the JM coefficient-thresholding rule the reference
+    applies to every inter MB (hl_codec_264_residual.c:881-897 per-4x4
+    Single_ctr; hl_codec_264_rdo.c:2419 drops the whole MB's luma
+    residual when the summed significance is < 6).  Costs a handful of
+    reductions per block, saves the many bits a near-empty residual
+    would spend.  wq (gh, gw, 16, 4, 4) luma levels."""
+    az = jnp.abs(wq)
+    nz = (az > 0).sum((-2, -1))                        # (gh, gw, 16)
+    run = jnp.min(jnp.where(az > 0, _J_SCANPOS[None, None, None], 16),
+                  axis=(-2, -1))
+    lone1 = (nz == 1) & (az.max((-2, -1)) == 1)
+    ctr = jnp.where(nz == 0, 0,
+                    jnp.where(lone1, _J_T079[jnp.minimum(run, 16)], 9))
+    drop_y = ctr.sum(-1) < 6                           # (gh, gw)
+    return jnp.where(drop_y[..., None, None, None], 0, wq)
+
+
+def eliminate_single_coeffs_chroma(acq):
+    """JVT-O079 chroma arm (hl_codec_264_rdo.c:2641-2647): a component
+    whose whole AC set is one lone |level|==1 coefficient drops it
+    (its significance T[run] <= 3 is always under the chroma threshold
+    7).  acq (gh, gw, 2, 4, 4, 4), DC slot already zero."""
+    caz = jnp.abs(acq)
+    cnz = (caz > 0).sum((-3, -2, -1))                  # (gh, gw, 2)
+    lone = (cnz == 1) & (caz.max((-3, -2, -1)) == 1)
+    return jnp.where(lone[..., None, None, None], 0, acq)
 
 
 @partial(jax.jit, static_argnames=("gw", "gh", "rng", "refine",
@@ -87,6 +121,7 @@ def p_frame_device(srcY, srcU, srcV, refY, refU, refV, qp, lam,
     res = src_mb - pred_y
     blocks = _blocks_of_mb(res)
     wq = forward_quant_4x4(forward_dct_4x4(blocks), qp[..., None], False)
+    wq = eliminate_single_coeffs_luma(wq)
     d = dequant_4x4(wq, jnp.broadcast_to(qp[..., None], (gh, gw, 16)))
     r = inverse_transform_4x4(d)
     rec = jnp.zeros((gh, gw, 16, 16), jnp.int32)
@@ -111,6 +146,7 @@ def p_frame_device(srcY, srcU, srcV, refY, refU, refV, qp, lam,
          jnp.stack([wc[..., 2, 0, 0], wc[..., 3, 0, 0]], -1)], -2)
     dcq = forward_hadamard_quant_dc_chroma(dc2, qpc[..., None], False)
     acq = forward_quant_4x4(wc, qpc[..., None, None], False, skip_dc=True)
+    acq = eliminate_single_coeffs_chroma(acq)
     dcd = chroma_dc_descale(dcq, qpc[..., None])
     dd = dequant_4x4(acq, jnp.broadcast_to(qpc[..., None, None],
                                            (gh, gw, 2, 4)))

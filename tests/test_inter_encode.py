@@ -119,3 +119,37 @@ def test_rd_vs_reference_encoder(my_stream, ref_driver, tmp_path):
           f"ref {pr:.2f} dB ({ref_bits} b)")
     assert pm > pr - 1.2
     assert my_bits < ref_bits * 1.6
+
+
+def test_single_coefficient_elimination():
+    """JVT-O079 2.3 (reference hl_codec_264_residual.c:881-897 +
+    rdo.c:2419,2641): an inter MB whose luma residual sums to
+    significance < 6 drops it entirely; a chroma component holding one
+    lone |level|==1 AC coefficient drops that too."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hartallo_tpu.encode.p_device import (
+        eliminate_single_coeffs_chroma, eliminate_single_coeffs_luma)
+
+    wq = np.zeros((1, 3, 16, 4, 4), np.int32)
+    # MB 0: one lone +1 at scan pos 0 -> ctr 3 < 6 -> dropped
+    wq[0, 0, 5, 0, 0] = 1
+    # MB 1: two lone 1s at scan pos 0 (3+3=6) -> kept
+    wq[0, 1, 2, 0, 0] = 1
+    wq[0, 1, 9, 0, 0] = -1
+    # MB 2: one block with a |level|==2 -> ctr 9 -> kept
+    wq[0, 2, 7, 0, 1] = 2
+    out = np.asarray(eliminate_single_coeffs_luma(jnp.asarray(wq)))
+    assert not out[0, 0].any()
+    assert np.array_equal(out[0, 1], wq[0, 1])
+    assert np.array_equal(out[0, 2], wq[0, 2])
+
+    acq = np.zeros((1, 2, 2, 4, 4, 4), np.int32)
+    acq[0, 0, 0, 1, 0, 1] = 1          # lone |1| -> dropped
+    acq[0, 0, 1, 0, 0, 1] = 2          # lone |2| -> kept
+    acq[0, 1, 0, 0, 0, 1] = 1          # two coeffs -> kept
+    acq[0, 1, 0, 2, 1, 0] = 1
+    co = np.asarray(eliminate_single_coeffs_chroma(jnp.asarray(acq)))
+    assert not co[0, 0, 0].any()
+    assert np.array_equal(co[0, 0, 1], acq[0, 0, 1])
+    assert np.array_equal(co[0, 1, 0], acq[0, 1, 0])
