@@ -750,9 +750,14 @@ class Decoder:
                                  "base-layer residual")
             bry, brcb, brcr = base.last_residual
             if bry.shape != (H, W):
-                raise ValueError("inter-layer residual prediction is "
-                                 "implemented for same-resolution "
-                                 "layers only")
+                # spatial layers: G.8.6.3 residual resampling
+                from hartallo_tpu.svc.upsample import \
+                    upsample_residual_plane_np
+                bry = upsample_residual_plane_np(bry, H, W)
+                brcb = upsample_residual_plane_np(brcb, H // 2, W // 2,
+                                                  chroma=True)
+                brcr = upsample_residual_plane_np(brcr, H // 2, W // 2,
+                                                  chroma=True)
             res_add_y = bry
             res_add_c = np.stack([brcb, brcr])
 

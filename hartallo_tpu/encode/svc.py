@@ -425,17 +425,27 @@ class SvcEncoder:
         pred_mb = pY.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
         res = src_mb - pred_mb
 
-        # ---- inter-layer residual prediction (G.8.6.3, same-res) -----
+        # ---- inter-layer residual prediction (G.8.6.3) ---------------
         # flag=1 where subtracting the base layer's rS shrinks the luma
         # residual; the recon loop mirrors the decoder's clip3
-        # accumulation exactly
+        # accumulation exactly.  Spatial layer pairs resample the base
+        # residual first (G-334..G-342 block-edge-constrained bilinear,
+        # matching the decoder).
         res_pred = None
         bres_y_mb = bres_c_mb = None
         base_enc = self.layers[li - 1]
-        if same_res and getattr(base_enc, "_last_coeffs", None) \
+        if getattr(base_enc, "_last_coeffs", None) \
                 is not None and self.cfg.svc_residual_pred:
             bry, brcb, brcr = _residual_planes_from_coeffs(
                 base_enc._last_coeffs, pps.chroma_qp_index_offset)
+            if not same_res:
+                from hartallo_tpu.svc.upsample import \
+                    upsample_residual_plane_np
+                bry = upsample_residual_plane_np(bry, H, W)
+                brcb = upsample_residual_plane_np(brcb, H // 2, W // 2,
+                                                  chroma=True)
+                brcr = upsample_residual_plane_np(brcr, H // 2, W // 2,
+                                                  chroma=True)
             bres_y_mb = jnp.asarray(
                 bry.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3))
             bres_c_mb = jnp.asarray(np.stack([

@@ -114,6 +114,42 @@ def upsample_plane(base: jnp.ndarray, out_h: int, out_w: int,
     return jnp.clip((out + 512) >> 10, 0, 255).astype(jnp.int32)
 
 
+def upsample_residual_plane_np(res: np.ndarray, out_h: int, out_w: int,
+                               chroma: bool = False) -> np.ndarray:
+    """G.8.6.3 residual resampling: block-edge-constrained bilinear
+    interpolation of the reference layer's residual array (spec
+    G-334..G-342; reference ``_hl_codec_264_decode_svc_residual_interpol``
+    at ``hl_codec_264_decode_svc.c:3400-3460``).  Bilinear within one
+    4x4 transform block, nearest-sample across block edges.  The
+    transform-block map is the uniform 4x4 grid (this codec codes every
+    residual with the 4x4 transform; intra reference MBs contribute
+    zero residual via the rS re-initialisation in d_pool).
+    """
+    h, w = res.shape
+    bx, px = ref_positions(out_w, w, chroma)
+    by, py = ref_positions(out_h, h, chroma)
+    x0 = np.clip(bx, 0, w - 1)
+    x1 = np.clip(bx + 1, 0, w - 1)
+    y0 = np.clip(by, 0, h - 1)
+    y1 = np.clip(by + 1, 0, h - 1)
+    same_x = ((x0 >> 2) == (x1 >> 2))[None, :]
+    same_y = ((y0 >> 2) == (y1 >> 2))[:, None]
+    r = res.astype(np.int64)
+
+    def hpass(rows):
+        s0 = r[rows][:, x0]
+        s1 = r[rows][:, x1]
+        lin = (16 - px)[None, :] * s0 + px[None, :] * s1     # G-339
+        near = np.where(px[None, :] < 8, s0, s1) << 4        # G-340
+        return np.where(same_x, lin, near)
+
+    t0 = hpass(y0)
+    t1 = hpass(y1)
+    lin = ((16 - py)[:, None] * t0 + py[:, None] * t1 + 128) >> 8  # G-341
+    near = (np.where(py[:, None] < 8, t0, t1) + 8) >> 4            # G-342
+    return np.where(same_y, lin, near).astype(np.int32)
+
+
 def downsample_dyadic_np(plane: np.ndarray) -> np.ndarray:
     """Simple 2x downsampler for the encoder's layer source generation
     (JSVM uses an 11-tap; a [1,2,1]x[1,2,1]/16 kernel is adequate for

@@ -202,3 +202,40 @@ def test_ess_15x_ep_round_trip():
     for i in range(NF):
         assert (els[i] == recs[i]).all(), f"frame {i}"
     assert sum(seen) > 0, "stream never exercised base_mode inference"
+
+
+def test_residual_resampling_differential():
+    """upsample_residual_plane_np vs a scalar transcription of
+    G-334..G-342 (bilinear within a 4x4 transform block, nearest across
+    block edges, reference hl_codec_264_decode_svc.c:3400-3460)."""
+    from hartallo_tpu.svc.upsample import (ref_positions,
+                                           upsample_residual_plane_np)
+    rng = np.random.default_rng(9)
+    for (h, w, oh, ow, chroma) in [(32, 48, 64, 96, False),
+                                   (32, 48, 48, 72, False),
+                                   (16, 24, 24, 36, True)]:
+        res = rng.integers(-255, 256, (h, w)).astype(np.int32)
+        got = upsample_residual_plane_np(res, oh, ow, chroma)
+        bx, px = ref_positions(ow, w, chroma)
+        by, py = ref_positions(oh, h, chroma)
+        exp = np.zeros((oh, ow), np.int64)
+        for yo in range(oh):
+            y0 = min(max(int(by[yo]), 0), h - 1)
+            y1 = min(max(int(by[yo]) + 1, 0), h - 1)
+            for xo in range(ow):
+                x0 = min(max(int(bx[xo]), 0), w - 1)
+                x1 = min(max(int(bx[xo]) + 1, 0), w - 1)
+                t = []
+                for yy in (y0, y1):
+                    if x0 >> 2 == x1 >> 2:
+                        t.append((16 - px[xo]) * res[yy, x0] +
+                                 px[xo] * res[yy, x1])
+                    else:
+                        t.append(int(res[yy, x0] if px[xo] < 8
+                                     else res[yy, x1]) << 4)
+                if y0 >> 2 == y1 >> 2:
+                    exp[yo, xo] = ((16 - py[yo]) * t[0] +
+                                   py[yo] * t[1] + 128) >> 8
+                else:
+                    exp[yo, xo] = (t[0] if py[yo] < 8 else t[1]) + 8 >> 4
+        assert np.array_equal(got, exp), (h, w, oh, ow, chroma)
