@@ -60,6 +60,12 @@ class CodecConfig:
     tid_max: int = -1
     # SVC spatial layers: list of (width, height); empty = plain AVC
     layers: List[Tuple[int, int]] = field(default_factory=list)
+    # SVC quality scalability: 2 -> each picture of the top spatial
+    # layer is followed by a quality_id=1 refinement NAL (transform-
+    # coefficient accumulation, G.8.5.1 family) coded at qp -
+    # quality_qp_delta.  Requires temporal_layers == 1.
+    quality_layers: int = 1
+    quality_qp_delta: int = 6
 
     def add_layer(self, width: int, height: int) -> None:
         """Reference hl_codec_add_layer (hl_codec.c:95-131)."""
@@ -151,8 +157,12 @@ class Codec:
     def encode(self, frame: np.ndarray, width: int = 0,
                height: int = 0) -> EncodeResult:
         if self._encoder is None:
-            if len(self.config.layers) >= 2:
+            if len(self.config.layers) >= 2 or \
+                    self.config.quality_layers >= 2:
                 from hartallo_tpu.encode.svc import SvcEncoder
+                if not self.config.layers:
+                    self.config.add_layer(self.config.width,
+                                          self.config.height)
                 self._encoder = SvcEncoder(self.config)
             else:
                 from hartallo_tpu.encode.encoder import Encoder
@@ -166,8 +176,12 @@ class Codec:
         host entropy packing of frame n)."""
         if self._encoder is None:
             self.encode  # noqa: B018 — touch to document laziness
-            if len(self.config.layers) >= 2:
+            if len(self.config.layers) >= 2 or \
+                    self.config.quality_layers >= 2:
                 from hartallo_tpu.encode.svc import SvcEncoder
+                if not self.config.layers:
+                    self.config.add_layer(self.config.width,
+                                          self.config.height)
                 self._encoder = SvcEncoder(self.config)
             else:
                 from hartallo_tpu.encode.encoder import Encoder

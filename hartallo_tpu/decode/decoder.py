@@ -55,6 +55,7 @@ class _Layer:
         self.last_recon = None
         self.last_motion = None          # (mv, ref_idx, intra, gw, gh)
         self.last_residual = None        # (rY, rCb, rCr) rS arrays
+        self.last_coeffs = None          # quantized levels + qp (G.8.5.1)
         # batched-path state
         self.ring = None                 # (ringY, ringU, ringV)
         self.ring_key = None             # (gw, gh, S, chroma_qp_off)
@@ -314,6 +315,11 @@ class Decoder:
                 from hartallo_tpu.decode.d_pool import residual_planes_np
                 layer.last_residual = residual_planes_np(
                     sd, pps.chroma_qp_index_offset)
+                # quantized levels for a following quality layer's
+                # G.8.5.1 tcoeff refinement (sTCoeff accumulation)
+                layer.last_coeffs = (sd.luma_ac.copy(),
+                                     sd.chroma_ac.copy(),
+                                     sd.chroma_dc.copy(), sd.qp.copy())
             layer.cur = None
             if self.dqid_min >= 0 and dqid < self.dqid_min:
                 return DecodeResult()
@@ -339,7 +345,7 @@ class Decoder:
         from hartallo_tpu.decode.slice_decode import MB_IBL, MB_PBL
         from hartallo_tpu.svc.motion import infer_motion
         base_dqid = sh.ref_layer_dq_id if sh.ref_layer_dq_id >= 0 \
-            else dqid - 16
+            else (dqid - 1 if (dqid & 15) else dqid - 16)
         base = self.layers.get(base_dqid)
         if base is None or base.last_motion is None:
             raise ValueError("base_mode_flag without decoded base layer")
@@ -363,7 +369,10 @@ class Decoder:
         has_ibl = bool((sd.mb_kind == MB_IBL).any())
         nonflat = effective_weight4x4(sps, pps) is not None
         has_respred = bool(sd.res_pred.any())
-        if not has_pcm and not has_ibl and not nonflat and not has_respred:
+        qref = (dqid & 15) > 0 and \
+            bool(((sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)).any())
+        if not has_pcm and not has_ibl and not nonflat \
+                and not has_respred and not qref:
             return self._enqueue_batched(sps, pps, sh, nh, sd, layer)
         return self._reconstruct_general(sps, pps, sh, nh, sd, layer, dqid)
 
@@ -701,7 +710,7 @@ class Decoder:
         if has_ibl:
             from hartallo_tpu.svc.upsample import upsample_plane
             base_dqid = sh.ref_layer_dq_id if sh.ref_layer_dq_id >= 0 \
-                else dqid - 16
+                else (dqid - 1 if (dqid & 15) else dqid - 16)
             base = self.layers.get(base_dqid)
             if base is None or base.last_recon is None:
                 raise ValueError("I_BL without decoded base layer")
@@ -741,9 +750,41 @@ class Decoder:
         has_respred = bool(sd.res_pred.any())
         res_add_y = np.zeros((H, W), np.int32)
         res_add_c = np.zeros((2, H // 2, W // 2), np.int32)
-        if has_respred:
+        rp_mask_np = sd.res_pred != 0
+        luma_ac, luma_dc = sd.luma_ac, sd.luma_dc
+        chroma_ac, chroma_dc = sd.chroma_ac, sd.chroma_dc
+        qref = (dqid & 15) > 0 and \
+            bool(((sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)).any())
+        if qref:
+            # quality refinement (G.8.5.1): accumulate this picture's
+            # transform-coefficient levels with the quality-base
+            # picture's BEFORE the inverse transform; the combined
+            # residual rides the respred accumulation input (the
+            # current-picture coefficient arrays are zeroed so the
+            # device residual contribution is exactly the accumulation)
+            from hartallo_tpu.decode.d_pool import \
+                accumulated_residual_planes_np
             base_dqid = sh.ref_layer_dq_id if sh.ref_layer_dq_id >= 0 \
-                else dqid - 16
+                else dqid - 1
+            base = self.layers.get(base_dqid)
+            if base is None or base.last_coeffs is None:
+                raise ValueError("quality refinement without decoded "
+                                 "quality-base coefficients")
+            res_add_y, res_add_c0, res_add_c1 = \
+                accumulated_residual_planes_np(
+                    base.last_coeffs,
+                    (sd.luma_ac, sd.chroma_ac, sd.chroma_dc, sd.qp),
+                    pps.chroma_qp_index_offset)
+            res_add_c = np.stack([res_add_c0, res_add_c1])
+            rp_mask_np = (sd.mb_kind >= 3) & (sd.mb_kind != MB_IBL)
+            luma_ac = np.zeros_like(sd.luma_ac)
+            luma_dc = np.zeros_like(sd.luma_dc)
+            chroma_ac = np.zeros_like(sd.chroma_ac)
+            chroma_dc = np.zeros_like(sd.chroma_dc)
+            has_respred = True
+        elif has_respred:
+            base_dqid = sh.ref_layer_dq_id if sh.ref_layer_dq_id >= 0 \
+                else (dqid - 1 if (dqid & 15) else dqid - 16)
             base = self.layers.get(base_dqid)
             if base is None or base.last_residual is None:
                 raise ValueError("residual_prediction without decoded "
@@ -764,8 +805,8 @@ class Decoder:
         from hartallo_tpu.decode.params import effective_weight4x4
         w4 = effective_weight4x4(sps, pps)
         padY, padU, padV, res_y, res_c = decode_frame_pre(
-            jnp.asarray(sd.luma_ac), jnp.asarray(sd.luma_dc),
-            jnp.asarray(sd.chroma_ac), jnp.asarray(sd.chroma_dc),
+            jnp.asarray(luma_ac), jnp.asarray(luma_dc),
+            jnp.asarray(chroma_ac), jnp.asarray(chroma_dc),
             jnp.asarray(sd.qp, jnp.int32),
             jnp.asarray(sd.mb_kind == MB_I16),
             jnp.asarray(sd.mv, jnp.int32),
@@ -775,7 +816,7 @@ class Decoder:
             jnp.asarray(w4 if w4 is not None
                         else np.full((2, 3, 4, 4), 16, np.int32)),
             jnp.asarray(res_add_y), jnp.asarray(res_add_c),
-            jnp.asarray(sd.res_pred != 0),
+            jnp.asarray(rp_mask_np),
             gw=gw, gh=gh, has_inter=has_inter, has_ibl=has_ibl,
             chroma_qp_off=pps.chroma_qp_index_offset,
             use_weights=w4 is not None, has_respred=has_respred)

@@ -314,7 +314,8 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, *,
 def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS, *,
                        nal_ref_idc: int, is_idr: bool,
                        svc_ext: bool = False,
-                       no_inter_layer_pred: bool = True) -> None:
+                       no_inter_layer_pred: bool = True,
+                       quality_id: int = 0) -> None:
     w.ue(h.first_mb_in_slice)
     w.ue(h.slice_type)
     w.ue(h.pic_parameter_set_id)
@@ -328,41 +329,44 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS, *,
     if pps.redundant_pic_cnt_present_flag:
         w.ue(h.redundant_pic_cnt)
     base = h.type_base
-    if base in (SLICE_P, SLICE_SP):
-        w.u1(h.num_ref_idx_active_override_flag)
-        if h.num_ref_idx_active_override_flag:
-            w.ue(h.num_ref_idx_l0_active_minus1)
-    if base not in (SLICE_I, SLICE_SI):
-        if h.ref_pic_list_mods_l0:
-            w.u1(1)
-            for mod in h.ref_pic_list_mods_l0:
-                w.ue(mod.idc)
-                w.ue(mod.value)
-            w.ue(3)                     # end of modifications
-        else:
-            w.u1(0)  # ref_pic_list_modification_flag_l0
-    if pps.weighted_pred_flag and base in (SLICE_P, SLICE_SP):
-        write_pred_weight_table(w, h.pred_weights or PredWeightTable(),
-                                h.num_ref_idx_l0_active_minus1 + 1)
-    if nal_ref_idc != 0:
-        if is_idr:
-            w.u1(h.no_output_of_prior_pics_flag)
-            w.u1(h.long_term_reference_flag)
-        elif h.mmcos:
-            w.u1(1)  # adaptive_ref_pic_marking_mode_flag
-            for m in h.mmcos:
-                w.ue(m.op)
-                if m.op in (1, 3):
-                    w.ue(m.value1)
-                if m.op == 2:
-                    w.ue(m.value1)
-                if m.op in (3, 6):
-                    w.ue(m.value2)
-                if m.op == 4:
-                    w.ue(m.value1)
-            w.ue(0)
-        else:
-            w.u1(0)  # adaptive_ref_pic_marking_mode_flag (sliding window)
+    if not (svc_ext and quality_id > 0):
+        # G.7.3.4: slices with quality_id > 0 inherit these fields from
+        # the quality-base slice of the access unit
+        if base in (SLICE_P, SLICE_SP):
+            w.u1(h.num_ref_idx_active_override_flag)
+            if h.num_ref_idx_active_override_flag:
+                w.ue(h.num_ref_idx_l0_active_minus1)
+        if base not in (SLICE_I, SLICE_SI):
+            if h.ref_pic_list_mods_l0:
+                w.u1(1)
+                for mod in h.ref_pic_list_mods_l0:
+                    w.ue(mod.idc)
+                    w.ue(mod.value)
+                w.ue(3)                     # end of modifications
+            else:
+                w.u1(0)  # ref_pic_list_modification_flag_l0
+        if pps.weighted_pred_flag and base in (SLICE_P, SLICE_SP):
+            write_pred_weight_table(w, h.pred_weights or PredWeightTable(),
+                                    h.num_ref_idx_l0_active_minus1 + 1)
+        if nal_ref_idc != 0:
+            if is_idr:
+                w.u1(h.no_output_of_prior_pics_flag)
+                w.u1(h.long_term_reference_flag)
+            elif h.mmcos:
+                w.u1(1)  # adaptive_ref_pic_marking_mode_flag
+                for m in h.mmcos:
+                    w.ue(m.op)
+                    if m.op in (1, 3):
+                        w.ue(m.value1)
+                    if m.op == 2:
+                        w.ue(m.value1)
+                    if m.op in (3, 6):
+                        w.ue(m.value2)
+                    if m.op == 4:
+                        w.ue(m.value1)
+                w.ue(0)
+            else:
+                w.u1(0)  # adaptive_ref_pic_marking (sliding window)
     w.se(h.slice_qp_delta)
     if pps.deblocking_filter_control_present_flag:
         w.ue(h.disable_deblocking_filter_idc)
@@ -378,7 +382,7 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS, *,
         w.u(h.slice_group_change_cycle, bits)
     if svc_ext:
         svc_sps = sps.svc
-        if not no_inter_layer_pred:
+        if not no_inter_layer_pred and quality_id == 0:
             w.ue(h.ref_layer_dq_id)
             if svc_sps is not None and \
                     svc_sps.inter_layer_deblocking_filter_control_present_flag:
@@ -387,6 +391,7 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS, *,
                     w.se(h.inter_layer_slice_alpha_c0_offset_div2)
                     w.se(h.inter_layer_slice_beta_offset_div2)
             w.u1(h.constrained_intra_resampling_flag)
+        if not no_inter_layer_pred:
             w.u1(0)  # slice_skip_flag
             w.u1(h.adaptive_base_mode_flag)
             if not h.adaptive_base_mode_flag:

@@ -19,7 +19,7 @@ Layer scheme (round-1 scope):
 """
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -106,6 +106,7 @@ class SvcEncoder:
         self.cfg = config
         self.layers: List[Encoder] = []
         self._call = 0
+        self.qenc: Optional[Encoder] = None   # quality_id=1 chain state
         for li, (w, h) in enumerate(config.layers):
             sub = CodecConfig(**{**config.__dict__, "layers": []})
             sub.width, sub.height = w, h
@@ -129,8 +130,17 @@ class SvcEncoder:
         enc = self.layers[li]
         w, h = self.cfg.layers[li]
         if li == 0:
-            return self._encode_base(enc, frame, w, h)
-        return self._encode_enh(enc, li, frame, w, h)
+            r = self._encode_base(enc, frame, w, h)
+        else:
+            r = self._encode_enh(enc, li, frame, w, h)
+        if (self.cfg.quality_layers >= 2 and len(self.layers) == 1
+                and self.cfg.temporal_layers == 1):
+            q = self._encode_quality_picture(enc, li, frame, w, h,
+                                             r.keyframe)
+            r = EncodeResult(data=r.data + q, headers=r.headers,
+                             keyframe=r.keyframe,
+                             temporal_id=r.temporal_id)
+        return r
 
     # ------------------------------------------------------------------
     def _encode_base(self, enc: Encoder, frame, w, h) -> EncodeResult:
@@ -310,7 +320,8 @@ class SvcEncoder:
 
     # ------------------------------------------------------------------
     def _pack_ibl_frame(self, enc: Encoder, li: int, arrays, qp,
-                        mb_kind) -> bytes:
+                        mb_kind, quality: int = 0,
+                        ref_dqid: int = -1) -> bytes:
         sps, pps = enc.sps, enc.pps
         gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
         hdr = SliceHeader(
@@ -319,18 +330,20 @@ class SvcEncoder:
             frame_num=0, idr_pic_id=enc.idr_pic_id,
             slice_qp_delta=int(qp[0, 0]) - pps.pic_init_qp,
             disable_deblocking_filter_idc=0 if enc.cfg.deblock else 1,
-            ref_layer_dq_id=(li - 1) << 4,
+            ref_layer_dq_id=ref_dqid if ref_dqid >= 0 else (li - 1) << 4,
             disable_inter_layer_deblocking_filter_idc=1,
             adaptive_base_mode_flag=0, default_base_mode_flag=1,
             adaptive_residual_prediction_flag=0,
             default_residual_prediction_flag=0)
         enc.idr_pic_id = (enc.idr_pic_id + 1) % 16
         svc = N.NalSvcExt(idr_flag=1, no_inter_layer_pred_flag=0,
-                          dependency_id=li, quality_id=0, temporal_id=0)
+                          dependency_id=li, quality_id=quality,
+                          temporal_id=0)
         w = BitWriter()
         N.write_nal_header(w, 3, N.NAL_SLICE_EXT, svc)
         write_slice_header(w, hdr, sps, pps, nal_ref_idc=3, is_idr=True,
-                           svc_ext=True, no_inter_layer_pred=False)
+                           svc_ext=True, no_inter_layer_pred=False,
+                           quality_id=quality)
         packer = FramePacker(gw, gh, arrays, qp, mb_kind)
         qp_state = [hdr.slice_qp(pps)]
         for my in range(gh):
@@ -559,8 +572,213 @@ class SvcEncoder:
                             keyframe=False, temporal_id=tid)
 
     # ------------------------------------------------------------------
+    def _encode_quality_picture(self, base_enc: Encoder, li: int, frame,
+                                width, height, is_idr: bool) -> bytes:
+        """quality_id=1 refinement NAL for the picture just encoded by
+        ``base_enc`` (G.8.5.1 family): IDR pictures refine the base
+        recon pixel-domain (same-res I_BL), P pictures refine the
+        TRANSFORM COEFFICIENTS — levels quantized at qp-quality_qp_delta
+        accumulate with the base picture's levels before one inverse
+        transform (sTCoeff, G-127..G-130; reference
+        hl_codec_264_decode_svc.c:92-146).  The refinement chain keeps
+        its own reference recon (MGS semantics: the quality decode uses
+        its own, finer reference pictures)."""
+        from hartallo_tpu.core.tables import QP_SCALE_CHROMA
+        from hartallo_tpu.decode.d_pool import \
+            accumulated_residual_planes_np
+        from hartallo_tpu.decode.slice_decode import MB_IBL, MB_PBL
+        from hartallo_tpu.encode.encoder import _planes_from_mbs
+        from hartallo_tpu.encode.intra_encode import _blocks_of_mb, \
+            _BLK_X, _BLK_Y
+        from hartallo_tpu.ops.transform import (
+            chroma_dc_descale, dequant_4x4, forward_dct_4x4,
+            forward_hadamard_quant_dc_chroma, forward_quant_4x4,
+            inverse_transform_4x4)
+
+        qe = self.qenc
+        if qe is None:
+            sub = CodecConfig(**{**self.cfg.__dict__, "layers": [],
+                                 "quality_layers": 1})
+            sub.width, sub.height = width, height
+            sub.qp = max(0, min(51, self.cfg.qp -
+                                self.cfg.quality_qp_delta))
+            sub.intra_in_p = False
+            qe = Encoder(sub)
+            # quality layers need a subset SPS (the NAL-20 slice header
+            # is parsed against the SPS's svc extension); ids offset by
+            # 8 to stay clear of the spatial layers'
+            self._setup_enh(qe, li + 8, width, height)
+            self.qenc = qe
+        sps, pps = qe.sps, qe.pps
+        gw, gh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+        W, H = gw * 16, gh * 16
+        qp_val = qe.cfg.qp
+        qp = np.full((gh, gw), qp_val, np.int32)
+        qpc = QP_SCALE_CHROMA[np.clip(qp + pps.chroma_qp_index_offset,
+                                      0, 51)]
+
+        buf = np.frombuffer(bytes(frame), np.uint8) if not \
+            isinstance(frame, np.ndarray) else np.asarray(frame).ravel()
+        ysz = width * height
+        y = buf[:ysz].reshape(height, width).astype(np.int32)
+        u = buf[ysz:ysz + ysz // 4].reshape(height // 2,
+                                            width // 2).astype(np.int32)
+        v = buf[ysz + ysz // 2 - ysz // 4:].reshape(
+            height // 2, width // 2).astype(np.int32)
+        src_mb = jnp.asarray(y).reshape(gh, 16, gw, 16) \
+            .transpose(0, 2, 1, 3)
+        src_c = jnp.stack(
+            [jnp.asarray(u).reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
+             jnp.asarray(v).reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)],
+            axis=2)
+        qpj = jnp.asarray(qp)
+        qpcj = jnp.asarray(qpc)
+
+        bY, bU, bV = base_enc._ref_planes   # base recon of THIS picture
+        if is_idr:
+            # pixel-domain I_BL refinement of the (same-res) base recon
+            up_y = jnp.asarray(bY)[PAD:PAD + H, PAD:PAD + W]
+            up_u = jnp.asarray(bU)[PAD:PAD + H // 2, PAD:PAD + W // 2]
+            up_v = jnp.asarray(bV)[PAD:PAD + H // 2, PAD:PAD + W // 2]
+            pred_mb = up_y.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
+            pred_c = jnp.stack(
+                [up_u.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
+                 up_v.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)],
+                axis=2)
+            intra_round = True
+        else:
+            mv_il = base_enc._last_motion[0]
+            refY, refU, refV = qe._ref_planes
+            mvf = jnp.asarray(
+                np.asarray(mv_il, np.int32).reshape(gh * gw * 16, 2))
+            pY, pU, pV = _ilp_predict(jnp.asarray(refY),
+                                      jnp.asarray(refU),
+                                      jnp.asarray(refV), mvf,
+                                      gw=gw, gh=gh)
+            pred_mb = pY.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)
+            pred_c = jnp.stack(
+                [pU.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
+                 pV.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)],
+                axis=2)
+            intra_round = False
+
+        res = src_mb - pred_mb
+        resc = src_c - pred_c
+        if not is_idr:
+            # refinement target: the residual the base coefficients do
+            # not already represent (decision domain; the recon below is
+            # exact coefficient accumulation)
+            bry, brcb, brcr = _residual_planes_from_coeffs(
+                base_enc._last_coeffs, pps.chroma_qp_index_offset)
+            res = res - jnp.asarray(
+                bry.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3))
+            resc = resc - jnp.asarray(np.stack([
+                brcb.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
+                brcr.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)],
+                axis=2))
+
+        blocks = _blocks_of_mb(res)
+        wq = forward_quant_4x4(forward_dct_4x4(blocks), qpj[..., None],
+                               intra_round)
+        cblocks = jnp.stack(
+            [resc[..., (b >> 1) * 4:(b >> 1) * 4 + 4,
+                  (b & 1) * 4:(b & 1) * 4 + 4] for b in range(4)], axis=3)
+        wc = forward_dct_4x4(cblocks)
+        dc2 = jnp.stack(
+            [jnp.stack([wc[..., 0, 0, 0], wc[..., 1, 0, 0]], -1),
+             jnp.stack([wc[..., 2, 0, 0], wc[..., 3, 0, 0]], -1)], -2)
+        dcq = forward_hadamard_quant_dc_chroma(dc2, qpcj[..., None],
+                                               intra_round)
+        acq = forward_quant_4x4(wc, qpcj[..., None, None], intra_round,
+                                skip_dc=True)
+
+        if is_idr:
+            # reconstruct exactly like the decoder's I_BL path
+            d = dequant_4x4(wq, jnp.broadcast_to(qpj[..., None],
+                                                 (gh, gw, 16)))
+            rr = inverse_transform_4x4(d)
+            rec = jnp.zeros((gh, gw, 16, 16), jnp.int32)
+            for b in range(16):
+                rec = rec.at[:, :, _BLK_Y[b]:_BLK_Y[b] + 4,
+                             _BLK_X[b]:_BLK_X[b] + 4].set(rr[:, :, b])
+            rec_y = jnp.clip(pred_mb + rec, 0, 255)
+            dcd = chroma_dc_descale(dcq, qpcj[..., None])
+            dd = dequant_4x4(acq, jnp.broadcast_to(
+                qpcj[..., None, None], (gh, gw, 2, 4)))
+            blk_r = jnp.arange(4) // 2
+            blk_c = jnp.arange(4) % 2
+            dd = dd.at[..., 0, 0].set(dcd[..., blk_r, blk_c])
+            rrc = inverse_transform_4x4(dd)
+            recc = jnp.zeros((gh, gw, 2, 8, 8), jnp.int32)
+            for b in range(4):
+                recc = recc.at[..., (b >> 1) * 4:(b >> 1) * 4 + 4,
+                               (b & 1) * 4:(b & 1) * 4 + 4] \
+                    .set(rrc[..., b, :, :])
+            rec_c = jnp.clip(pred_c + recc, 0, 255)
+        else:
+            # exact decoder recon: sTCoeff accumulation then one IDCT,
+            # clip3 per the respred accumulation the decoder rides
+            barr, bqp, _ = base_enc._last_coeffs
+            ry, rcb, rcr = accumulated_residual_planes_np(
+                (barr["luma_ac"], barr["chroma_ac"], barr["chroma_dc"],
+                 bqp),
+                (np.asarray(wq), np.asarray(acq), np.asarray(dcq), qp),
+                pps.chroma_qp_index_offset)
+            ry = np.clip(ry, -255, 255)
+            rc = np.clip(np.stack([rcb, rcr]), -255, 255)
+            rec_y = jnp.clip(pred_mb + jnp.asarray(
+                ry.reshape(gh, 16, gw, 16).transpose(0, 2, 1, 3)),
+                0, 255)
+            rec_c = jnp.clip(pred_c + jnp.asarray(np.stack([
+                rc[0].reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3),
+                rc[1].reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)],
+                axis=2)), 0, 255)
+
+        arrays = {
+            "use_i16": np.zeros((gh, gw), np.int32),
+            "luma_ac": np.asarray(wq),
+            "luma_dc": np.zeros((gh, gw, 4, 4), np.int32),
+            "chroma_dc": np.asarray(dcq),
+            "chroma_ac": np.asarray(acq),
+            "i16_mode": np.zeros((gh, gw), np.int32),
+            "i4_modes": np.zeros((gh, gw, 16), np.int32),
+            "chroma_mode": np.zeros((gh, gw), np.int32),
+        }
+        if is_idr:
+            mb_kind = np.full((gh, gw), MB_IBL, np.int8)
+            qe.frame_num = 0
+            payload = self._pack_ibl_frame(qe, li, arrays, qp, mb_kind,
+                                           quality=1, ref_dqid=li << 4)
+        else:
+            arrays["mv44"] = np.asarray(base_enc._last_motion[0],
+                                        np.int32)
+            mb_kind = np.full((gh, gw), MB_PBL, np.int8)
+            payload = self._pack_ep_frame(qe, li, arrays, qp, mb_kind,
+                                          tid=0, res_pred=None,
+                                          quality=1, ref_dqid=li << 4)
+
+        recY = np.pad(_planes_from_mbs(np.asarray(rec_y)), PAD)
+        recU = np.pad(_planes_from_mbs(np.asarray(rec_c[:, :, 0])), PAD)
+        recV = np.pad(_planes_from_mbs(np.asarray(rec_c[:, :, 1])), PAD)
+        recY, recU, recV = (jnp.asarray(recY.astype(np.int32)),
+                            jnp.asarray(recU.astype(np.int32)),
+                            jnp.asarray(recV.astype(np.int32)))
+        if qe.cfg.deblock:
+            kind_for_bs = np.zeros((gh, gw), np.int8) if is_idr \
+                else np.full((gh, gw), MB_PBL, np.int8)
+            recY, recU, recV = qe._deblock_recon(
+                arrays, qp, kind_for_bs, (recY, recU, recV), gw, gh)
+        qe._ref_planes = (_edge_repad(recY), _edge_repad(recU),
+                         _edge_repad(recV))
+        qe.frame_num = (qe.frame_num + 1) % sps.max_frame_num
+        if is_idr:
+            return qe._headers + _annexb(payload)
+        return _annexb(payload)
+
+    # ------------------------------------------------------------------
     def _pack_ep_frame(self, enc: Encoder, li: int, arrays, qp,
-                       mb_kind, tid: int = 0, res_pred=None) -> bytes:
+                       mb_kind, tid: int = 0, res_pred=None,
+                       quality: int = 0, ref_dqid: int = -1) -> bytes:
         """EP slice: every MB coded with inferred base_mode (skip-run 0 +
         the I_BL-shaped CBP/residual syntax, G.7.3.6.2)."""
         sps, pps = enc.sps, enc.pps
@@ -571,7 +789,7 @@ class SvcEncoder:
             frame_num=enc.frame_num,
             slice_qp_delta=int(qp[0, 0]) - pps.pic_init_qp,
             disable_deblocking_filter_idc=0 if enc.cfg.deblock else 1,
-            ref_layer_dq_id=(li - 1) << 4,
+            ref_layer_dq_id=ref_dqid if ref_dqid >= 0 else (li - 1) << 4,
             disable_inter_layer_deblocking_filter_idc=1,
             adaptive_base_mode_flag=0, default_base_mode_flag=1,
             adaptive_residual_prediction_flag=(
@@ -579,12 +797,14 @@ class SvcEncoder:
             default_residual_prediction_flag=0)
         ref_idc = 0 if tid else 2
         svc = N.NalSvcExt(idr_flag=0, no_inter_layer_pred_flag=0,
-                          dependency_id=li, quality_id=0, temporal_id=tid)
+                          dependency_id=li, quality_id=quality,
+                          temporal_id=tid)
         w = BitWriter()
         N.write_nal_header(w, ref_idc, N.NAL_SLICE_EXT, svc)
         write_slice_header(w, hdr, sps, pps, nal_ref_idc=ref_idc,
                            is_idr=False, svc_ext=True,
-                           no_inter_layer_pred=False)
+                           no_inter_layer_pred=False,
+                           quality_id=quality)
         packer = FramePacker(gw, gh, arrays, qp, mb_kind)
         qp_state = [hdr.slice_qp(pps)]
         for my in range(gh):

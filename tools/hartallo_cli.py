@@ -48,7 +48,9 @@ def cmd_encode(args):
     cfg = CodecConfig(width=W, height=H, qp=args.qp, gop_size=args.gop,
                       deblock=not args.no_deblock, me_range=args.me_range,
                       rc_bitrate=args.bitrate, slices=args.slices,
-                      threads=args.threads)
+                      threads=args.threads,
+                      quality_layers=args.quality_layers,
+                      quality_qp_delta=args.quality_qp_delta)
     codec = Codec(cfg)
     n = 0
     t0 = time.perf_counter()
@@ -117,6 +119,10 @@ def main():
                    help="slices per frame (contiguous MB-row ranges)")
     e.add_argument("--threads", type=int, default=1,
                    help="host entropy-packing workers")
+    e.add_argument("--quality-layers", type=int, default=1,
+                   help="2 = emit a quality_id=1 refinement NAL per "
+                        "picture (SVC quality scalability)")
+    e.add_argument("--quality-qp-delta", type=int, default=6)
     e.set_defaults(fn=cmd_encode)
 
     s = sub.add_parser("encode-svc")
